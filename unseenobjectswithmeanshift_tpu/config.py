@@ -1,0 +1,247 @@
+"""Unified configuration system.
+
+Replaces the reference's two parallel config systems (the global EasyDict ``cfg`` in
+lib/fcn/config.py and the Detectron2 CfgNode tree built by
+MSMFormer/meanshiftformer/config.py) with one set of typed dataclasses plus YAML
+presets.  Field defaults mirror the shipped flagship configuration
+(ref: MSMFormer/configs/tabletop_pretrained.yaml, configs/crop_tabletop_pretrained.yaml,
+experiments/cfgs/seg_resnet34_8s_embedding_cosine_rgbd_add_tabletop.yml).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+# BGR pixel means / 255, matching lib/fcn/config.py:377 (PIXEL_MEANS, BGR order)
+# and lib/fcn/get_network_crop.py:146-148 (im/255 - mean/255).
+UCN_PIXEL_MEANS_BGR = (102.9801, 115.9465, 122.7717)
+# COCO RGB normalization used by the Detectron2-format datasets in COLOR mode
+# (ref: lib/datasets/tabletop_dataset.py:395-396).
+COCO_PIXEL_MEAN_RGB = (123.675, 116.280, 103.530)
+COCO_PIXEL_STD_RGB = (58.395, 57.120, 57.375)
+
+
+@dataclass
+class BackboneConfig:
+    """UCN embedding backbone (ref: lib/networks/SEG.py:26-126)."""
+
+    network: str = "resnet34_8s"     # resnet34_8s | resnet50_8s | unet | vgg
+    input_type: str = "RGBD"          # COLOR | DEPTH | RGBD
+    fusion_type: str = "add"          # early | add | cat   (SEG.py:97-110)
+    num_units: int = 64               # embedding dim (cfg.TRAIN.NUM_UNITS)
+    normalize: bool = True            # L2-normalize output (SEG.py:112-114)
+    output_stride: int = 8
+
+
+@dataclass
+class DecoderConfig:
+    """MSMFormer transformer decoder
+    (ref: meanshiftformer_transformer_decoder.py:697-1048 and config.py MASK_FORMER.*)."""
+
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 6               # cfg DEC_LAYERS - 1 (7 - 1)
+    pre_norm: bool = False
+    enforce_input_project: bool = False
+    mask_dim: int = 256               # SEM_SEG_HEAD.MASK_DIM
+    conv_dim: int = 64                # SEM_SEG_HEAD.CONVS_DIM (input feature channels)
+    num_classes: int = 2              # SEM_SEG_HEAD.NUM_CLASSES
+    num_feature_levels: int = 1       # 1 for Pretrained..., 3 for MeanShiftTransformerDecoder
+    use_meanshift_cross_attention: bool = True
+    use_meanshift_self_attention: bool = True
+    disable_attention_mask: bool = False
+    decoder_block_norm: bool = True
+    kappa: float = 30.0               # attention_util.py:26 KAPPA
+
+
+@dataclass
+class PixelDecoderConfig:
+    """Pixel decoder selection (ref: modeling/pixel_decoder/fpn.py, msdeformattn.py)."""
+
+    name: str = "simple"              # simple | fpn | msdeformattn
+    conv_dim: int = 64                # for simple: channels of the UCN feature map
+    mask_dim: int = 256
+    transformer_enc_layers: int = 6   # for msdeformattn
+    common_stride: int = 4
+    norm: str = "GN"
+
+
+@dataclass
+class TestConfig:
+    """Inference-time knobs (ref: tabletop_pretrained.yaml TEST / MASK_FORMER.TEST,
+    lib/fcn/test_utils.py defaults)."""
+
+    detections_per_image: int = 20    # TEST.DETECTIONS_PER_IMAGE
+    topk: bool = True                 # get_confident_instances(topk=...) in test_dataset_crop
+    confident_score: float = 0.9      # score threshold when topk=False
+    low_threshold: float = 0.4        # class-score threshold when topk=True
+    size_divisibility: int = 32       # MASK_FORMER.SIZE_DIVISIBILITY
+    max_instances: int = 20           # static bound for two-stage refinement
+    crop_size: int = 224              # cfg.TRAIN.SYN_CROP_SIZE
+    crop_padding: float = 0.25        # crop_rois padding_percentage (test_dataset.py:66)
+    depth_filter_threshold_ocid: float = 0.5   # test_utils.py:296-299
+    depth_filter_threshold_osd: float = 0.8
+    overlap_match_threshold: float = 0.5       # match_label_crop (test_dataset.py:124)
+    use_nms: bool = False             # test_utils.py:30 USE_NMS
+    nms_threshold: float = 0.7
+
+
+@dataclass
+class MeanShiftConfig:
+    """Non-learned vMF mean-shift clustering for the UCN path
+    (ref: lib/utils/mean_shift.py; knobs from lib/fcn/test_dataset.py:44-59)."""
+
+    kappa: float = 20.0
+    num_seeds: int = 100
+    max_iters: int = 10
+    epsilon: float = 0.04             # 2 * cfg.TRAIN.EMBEDDING_ALPHA (mean_shift.py:123)
+    metric: str = "cosine"
+
+
+@dataclass
+class LossConfig:
+    """Training losses (ref: pretrained_meanshiftformer_model.py:166-203,
+    modeling/criterion.py, lib/networks/embedding.py)."""
+
+    class_weight: float = 2.0
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+    no_object_weight: float = 0.1
+    deep_supervision: bool = True
+    train_num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    # embedding (metric-learning) loss, for UCN backbone training
+    use_embedding_loss: bool = False
+    embedding_loss_weight: float = 1.0
+    embedding_alpha: float = 0.02
+    embedding_delta: float = 0.5
+    embedding_lambda_intra: float = 1.0
+    embedding_lambda_inter: float = 1.0
+    embedding_metric: str = "cosine"
+    embedding_normalize: bool = True
+    max_gt_instances: int = 24        # static padding bound for Hungarian matching
+
+
+@dataclass
+class SolverConfig:
+    """Optimizer (ref: tabletop_train_net_pretrained.py:112-191,
+    Base-COCO-InstanceSegmentation.yaml SOLVER)."""
+
+    optimizer: str = "adamw"
+    base_lr: float = 1e-4
+    weight_decay: float = 0.05
+    weight_decay_norm: float = 0.0
+    weight_decay_embed: float = 0.0
+    backbone_multiplier: float = 0.1
+    clip_gradients: float = 0.01      # full-model clip norm
+    max_iter: int = 71000
+    ims_per_batch: int = 4
+    checkpoint_period: int = 17500
+    # UCN backbone training (experiments/cfgs/*.yml)
+    ucn_lr: float = 1e-5
+    ucn_momentum: float = 0.9
+    ucn_weight_decay: float = 1e-4
+    ucn_epochs: int = 16
+    ucn_batch_size: int = 16
+
+
+@dataclass
+class Config:
+    """Top-level configuration."""
+
+    name: str = "tabletop_pretrained"
+    input: str = "RGBD"               # COLOR | DEPTH | RGBD (cfg.INPUT)
+    pixel_means_bgr: Tuple[float, float, float] = UCN_PIXEL_MEANS_BGR
+    use_depth: bool = True            # MODEL.USE_DEPTH
+    use_other_backbone: bool = False  # MODEL.USE_OTHER_BACKBONE (ResNet50 config)
+    dtype: str = "float32"            # compute dtype: float32 | bfloat16
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    pixel_decoder: PixelDecoderConfig = field(default_factory=PixelDecoderConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    mean_shift: MeanShiftConfig = field(default_factory=MeanShiftConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def _update_dataclass(obj, updates: Dict[str, Any]):
+    for k, v in updates.items():
+        if not hasattr(obj, k):
+            raise KeyError(f"unknown config key: {k!r} on {type(obj).__name__}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _update_dataclass(cur, v)
+        else:
+            setattr(obj, k, tuple(v) if isinstance(cur, tuple) else v)
+
+
+def load_config(path_or_dict, base: Optional[Config] = None) -> Config:
+    """Build a Config from a YAML file path or a nested dict of overrides."""
+    cfg = dataclasses.replace(base) if base is not None else Config()
+    if isinstance(path_or_dict, str):
+        with open(path_or_dict) as f:
+            data = yaml.safe_load(f) or {}
+    else:
+        data = dict(path_or_dict)
+    base_path = data.pop("_base_", None)
+    if base_path is not None:
+        cfg = load_config(base_path, base=cfg)
+    _update_dataclass(cfg, data)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Presets (mirroring the shipped reference configs)
+# ---------------------------------------------------------------------------
+
+def tabletop_pretrained() -> Config:
+    """Flagship: UCN RGBD backbone + SimpleBasePixelDecoder + 1-level decoder
+    (ref: MSMFormer/configs/tabletop_pretrained.yaml)."""
+    return Config()
+
+
+def crop_tabletop_pretrained() -> Config:
+    """Second-stage crop network config (ref: configs/crop_tabletop_pretrained.yaml:
+    same architecture, crop-trained weights, feature_crop backbone)."""
+    cfg = Config(name="crop_tabletop_pretrained")
+    return cfg
+
+
+def tabletop_pretrained_rgb() -> Config:
+    cfg = Config(name="tabletop_pretrained_rgb", input="COLOR", use_depth=False)
+    cfg.backbone.input_type = "COLOR"
+    return cfg
+
+
+def uoais_resnet50() -> Config:
+    """ResNet50 + MSDeformAttn pixel decoder + 3-level decoder
+    (ref: MSMFormer/configs/UOAIS_ResNet50.yaml)."""
+    cfg = Config(name="uoais_resnet50", use_other_backbone=True)
+    cfg.pixel_decoder = PixelDecoderConfig(name="msdeformattn", conv_dim=256, mask_dim=256)
+    cfg.decoder.num_feature_levels = 3
+    cfg.decoder.conv_dim = 256
+    return cfg
+
+
+PRESETS = {
+    "tabletop_pretrained": tabletop_pretrained,
+    "crop_tabletop_pretrained": crop_tabletop_pretrained,
+    "tabletop_pretrained_rgb": tabletop_pretrained_rgb,
+    "uoais_resnet50": uoais_resnet50,
+}
+
+
+def get_config(name: str = "tabletop_pretrained") -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name]()
