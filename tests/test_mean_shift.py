@@ -41,11 +41,13 @@ def np_connected_components(Z, eps):
     n = Z.shape[0]
     labels = -np.ones(n, np.int64)
     K = 0
+    # full pairwise matrix (same contraction order as the jitted version, so that
+    # knife-edge comparisons dist ~= eps resolve identically)
+    D = 0.5 * (1 - Z @ Z.T)
     for i in range(n):
         if labels[i] != -1:
             continue
-        dist = 0.5 * (1 - Z @ Z[i])
-        comp = dist <= eps
+        comp = D[i] <= eps
         existing = labels[comp]
         existing = existing[existing != -1]
         if len(existing) > 0:
