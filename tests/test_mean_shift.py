@@ -102,12 +102,35 @@ def test_hill_climbing_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(Zj), Zn, atol=5e-4)
 
 
+def np_connected_components_from_D(D, eps):
+    n = D.shape[0]
+    labels = -np.ones(n, np.int64)
+    K = 0
+    for i in range(n):
+        if labels[i] != -1:
+            continue
+        comp = D[i] <= eps
+        existing = labels[comp]
+        existing = existing[existing != -1]
+        if len(existing) > 0:
+            vals, counts = np.unique(existing, return_counts=True)
+            label = vals[np.argmax(counts)]
+        else:
+            label = K
+            K += 1
+        labels[comp] = label
+    return labels
+
+
 def test_connected_components_matches_oracle(rng):
     for trial in range(5):
         Z = rng.randn(30, 8).astype(np.float32)
         Z /= np.linalg.norm(Z, axis=1, keepdims=True)
         lj = np.asarray(ms.connected_components(jnp.asarray(Z), 0.3))
-        ln = np_connected_components(Z, 0.3)
+        # oracle consumes the exact distance matrix the kernel sees, so that
+        # knife-edge dist ~= eps comparisons resolve identically
+        D = np.asarray(ms.cosine_distance(jnp.asarray(Z), jnp.asarray(Z)))
+        ln = np_connected_components_from_D(D, 0.3)
         np.testing.assert_array_equal(lj, ln)
 
 
