@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# Persistent compilation cache: this box has a single CPU core and XLA compiles
+# dominate test wall-time; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
 @pytest.fixture

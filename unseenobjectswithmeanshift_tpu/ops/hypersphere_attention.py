@@ -98,13 +98,15 @@ def meanshift_attention(params: MhaParams, query, key, value, num_heads: int,
     configs).
     """
     dt = query.dtype
-    q = query @ params.q_kernel.astype(dt) + params.q_bias.astype(dt)
-    k = key @ params.k_kernel.astype(dt) + params.k_bias.astype(dt)
-    v = value @ params.v_kernel.astype(dt) + params.v_bias.astype(dt)
+    proj = lambda x, w, b: (
+        jnp.einsum("ble,ef->blf", x, w.astype(dt), precision=precision) + b.astype(dt))
+    q = proj(query, params.q_kernel, params.q_bias)
+    k = proj(key, params.k_kernel, params.k_bias)
+    v = proj(value, params.v_kernel, params.v_bias)
 
     q, k, v = (split_heads(t, num_heads) for t in (q, k, v))
     out, attn = hypersphere_attention_core(q, k, v, kappa, mask_bias, precision)
     out = merge_heads(out)
-    out = out @ params.out_kernel.astype(dt) + params.out_bias.astype(dt)
+    out = proj(out, params.out_kernel, params.out_bias)
     # average attention weights over heads (need_weights path, :427-430)
     return out, attn.mean(axis=1)
