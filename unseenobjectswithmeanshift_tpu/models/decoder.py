@@ -1,0 +1,237 @@
+"""MeanShift transformer decoder (MSMFormer) - flax, fixed-shape, jit-friendly.
+
+Re-design of the reference decoders
+(ref: MSMFormer/meanshiftformer/modeling/transformer_decoder/
+meanshiftformer_transformer_decoder.py):
+- PretrainedMeanShiftTransformerDecoder (:697-1048): num_feature_levels=1, used with
+  the UCN backbone (the flagship configuration)
+- MeanShiftTransformerDecoder (:343-695): num_feature_levels=3, used with the
+  ResNet50 + MSDeformAttn pixel decoder
+Both are instances of MeanShiftDecoder here (the level count is a config field).
+
+Per layer (post-norm, dropout 0 in all shipped configs):
+  cross-attention (hypersphere): tgt2 = MSAttn(q=out+query_pos, k=src+pos, v=src, mask)
+                                 out  = LN(out + tgt2)                       (:245-260)
+  self-attention  (hypersphere): q = k = out+query_pos, v = out              (:171-181)
+  FFN 256->2048->256 relu        out  = LN(out + lin2(relu(lin1(out))))      (:300-304)
+  decoder_block_norm:            out  = L2-normalize(out)                    (:989-990)
+  prediction heads -> (class logits, mask logits, next attention mask)       (:1012-1035)
+
+The attention mask is sigmoid(interp(mask_logits)) < 0.5 == interp(mask_logits) < 0,
+detached, with the all-masked-row guard (:970) folded into bool_mask_to_bias.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.hypersphere_attention import (
+    MhaParams, meanshift_attention, bool_mask_to_bias, l2_normalize,
+    split_heads, merge_heads,
+)
+from ..ops.resize import resize_bilinear
+from .position_encoding import position_embedding_sine
+from .resnet import default_precision
+
+xavier = nn.initializers.xavier_uniform()
+zeros = nn.initializers.zeros
+
+
+class MultiheadAttention(nn.Module):
+    """Multi-head attention with either hypersphere (mean-shift) or standard
+    scaled-dot-product core. Params mirror torch nn.MultiheadAttention (packed
+    q/k/v kept as separate kernels, flax [in, out] layout)."""
+
+    embed_dim: int
+    num_heads: int
+    meanshift: bool = True
+    kappa: float = 30.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, mask_bias=None):
+        E = self.embed_dim
+        p = MhaParams(
+            q_kernel=self.param("q_kernel", xavier, (E, E)),
+            k_kernel=self.param("k_kernel", xavier, (E, E)),
+            v_kernel=self.param("v_kernel", xavier, (E, E)),
+            q_bias=self.param("q_bias", zeros, (E,)),
+            k_bias=self.param("k_bias", zeros, (E,)),
+            v_bias=self.param("v_bias", zeros, (E,)),
+            out_kernel=self.param("out_kernel", xavier, (E, E)),
+            out_bias=self.param("out_bias", zeros, (E,)),
+        )
+        prec = default_precision(self.dtype)
+        if self.meanshift:
+            out, _ = meanshift_attention(p, query, key, value, self.num_heads,
+                                         kappa=self.kappa, mask_bias=mask_bias,
+                                         precision=prec)
+            return out
+        # standard softmax attention (for the non-meanshift baseline decoders)
+        dt = query.dtype
+        proj = lambda x, w, b: (
+            jnp.einsum("ble,ef->blf", x, w.astype(dt), precision=prec) + b.astype(dt))
+        q = split_heads(proj(query, p.q_kernel, p.q_bias), self.num_heads)
+        k = split_heads(proj(key, p.k_kernel, p.k_bias), self.num_heads)
+        v = split_heads(proj(value, p.v_kernel, p.v_bias), self.num_heads)
+        dh = E // self.num_heads
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=prec) / jnp.sqrt(
+            jnp.asarray(dh, jnp.float32)).astype(dt)
+        logits = logits.astype(jnp.float32)
+        if mask_bias is not None:
+            logits = logits + mask_bias
+        attn = jax.nn.softmax(logits, axis=-1).astype(dt)
+        out = merge_heads(jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=prec))
+        return proj(out, p.out_kernel, p.out_bias)
+
+
+class MLP(nn.Module):
+    """Simple relu MLP (ref: meanshiftformer_transformer_decoder.py:329-341)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            out_dim = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=xavier,
+                         precision=default_precision(self.dtype),
+                         name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        return x
+
+
+class MeanShiftDecoder(nn.Module):
+    """The MSMFormer transformer decoder over multi-scale features."""
+
+    num_classes: int = 2
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 6                # cfg DEC_LAYERS - 1
+    mask_dim: int = 256
+    in_channels: int = 64              # channels of the input feature maps
+    num_feature_levels: int = 1
+    enforce_input_project: bool = False
+    use_meanshift_cross_attention: bool = True
+    use_meanshift_self_attention: bool = True
+    disable_attention_mask: bool = False
+    decoder_block_norm: bool = True
+    kappa: float = 30.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_levels: List[jax.Array], mask_features: jax.Array):
+        """x_levels: list of [B, H_l, W_l, C_in] feature maps (length
+        num_feature_levels); mask_features: [B, H, W, mask_dim].
+
+        Returns dict with pred_logits [B, Q, num_classes+1], pred_masks
+        [B, Q, H, W] and aux_outputs (deep supervision, one per decoder layer).
+        """
+        assert len(x_levels) == self.num_feature_levels
+        E, Q = self.hidden_dim, self.num_queries
+        B = x_levels[0].shape[0]
+        dt = self.dtype
+        prec = default_precision(dt)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=dt, name=name)
+
+        query_feat = self.param("query_feat", nn.initializers.normal(1.0), (Q, E))
+        query_embed = self.param("query_embed", nn.initializers.normal(1.0), (Q, E))
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0),
+                                 (self.num_feature_levels, E))
+
+        # flatten levels: src (projected + level embed) and positional encodings
+        srcs, poss, sizes = [], [], []
+        for l, x in enumerate(x_levels):
+            h, w = x.shape[1], x.shape[2]
+            sizes.append((h, w))
+            pos = position_embedding_sine(h, w, E // 2, dtype=dt)
+            poss.append(jnp.broadcast_to(pos.reshape(1, h * w, E), (B, h * w, E)))
+            if self.in_channels != E or self.enforce_input_project:
+                x = nn.Conv(E, (1, 1), dtype=dt, precision=prec,
+                            name=f"input_proj_{l}")(x)
+            srcs.append(x.reshape(B, h * w, E) + level_embed[l].astype(dt))
+
+        mask_features = mask_features.astype(dt)
+
+        decoder_norm = ln("decoder_norm")
+        class_embed = nn.Dense(self.num_classes + 1, dtype=dt, kernel_init=xavier,
+                               precision=prec, name="class_embed")
+        mask_embed = MLP(hidden_dim=E, output_dim=self.mask_dim, num_layers=3,
+                         dtype=dt, name="mask_embed")
+
+        def prediction_heads(output, attn_mask_target_size):
+            d = decoder_norm(output)
+            outputs_class = class_embed(d)
+            me = mask_embed(d)
+            outputs_mask = jnp.einsum("bqc,bhwc->bqhw", me, mask_features,
+                                      precision=prec)
+            if self.disable_attention_mask:
+                return outputs_class, outputs_mask, None
+            # interp mask logits to target size; sigmoid(m) < 0.5 <=> m < 0
+            m = outputs_mask
+            if attn_mask_target_size != m.shape[-2:]:
+                m = resize_bilinear(m[..., None], attn_mask_target_size,
+                                    align_corners=False)[..., 0]
+            attn_bool = jax.lax.stop_gradient(m < 0).reshape(B, Q, -1)
+            # -> additive bias [B, 1, Q, HW] with the all-masked-row guard (:970)
+            return outputs_class, outputs_mask, bool_mask_to_bias(attn_bool)
+
+        output = jnp.broadcast_to(query_feat[None].astype(dt), (B, Q, E))
+        qpos = jnp.broadcast_to(query_embed[None].astype(dt), (B, Q, E))
+
+        predictions_class, predictions_mask = [], []
+        outputs_class, outputs_mask, attn_bias = prediction_heads(output, sizes[0])
+        predictions_class.append(outputs_class)
+        predictions_mask.append(outputs_mask)
+
+        for i in range(self.dec_layers):
+            l = i % self.num_feature_levels
+            # cross-attention first (Mask2Former ordering)
+            tgt2 = MultiheadAttention(
+                embed_dim=E, num_heads=self.nheads,
+                meanshift=self.use_meanshift_cross_attention,
+                kappa=self.kappa, dtype=dt, name=f"cross_attn_{i}")(
+                    output + qpos, srcs[l] + poss[l], srcs[l],
+                    mask_bias=None if self.disable_attention_mask else attn_bias)
+            output = ln(f"cross_norm_{i}")(output + tgt2)
+
+            qk = output + qpos
+            tgt2 = MultiheadAttention(
+                embed_dim=E, num_heads=self.nheads,
+                meanshift=self.use_meanshift_self_attention,
+                kappa=self.kappa, dtype=dt, name=f"self_attn_{i}")(qk, qk, output)
+            output = ln(f"self_norm_{i}")(output + tgt2)
+
+            # FFN
+            tgt2 = nn.Dense(self.dim_feedforward, dtype=dt, kernel_init=xavier,
+                            precision=prec, name=f"ffn_lin1_{i}")(output)
+            tgt2 = nn.Dense(E, dtype=dt, kernel_init=xavier, precision=prec,
+                            name=f"ffn_lin2_{i}")(nn.relu(tgt2))
+            output = ln(f"ffn_norm_{i}")(output + tgt2)
+
+            if self.decoder_block_norm:
+                output = l2_normalize(output, axis=-1)
+
+            outputs_class, outputs_mask, attn_bias = prediction_heads(
+                output, sizes[(i + 1) % self.num_feature_levels])
+            predictions_class.append(outputs_class)
+            predictions_mask.append(outputs_mask)
+
+        return {
+            "pred_logits": predictions_class[-1],
+            "pred_masks": predictions_mask[-1],
+            "aux_outputs": [
+                {"pred_logits": c, "pred_masks": m}
+                for c, m in zip(predictions_class[:-1], predictions_mask[:-1])
+            ],
+        }

@@ -1,0 +1,113 @@
+"""MSMFormer meta-architecture: backbone -> pixel decoder -> mean-shift decoder.
+
+Re-design of PretrainedMeanShiftMaskFormer
+(ref: MSMFormer/meanshiftformer/pretrained_meanshiftformer_model.py:50-497):
+- UCN SEGNET backbone produces a full-resolution 64-d embedding map (SEG.py),
+  L2-normalized twice (SEG.py:112-114 and the meta-arch's own F.normalize, :298)
+- SimpleBasePixelDecoder passes that map through; when MASK_DIM != 64 a single
+  3x3 conv projects 64 -> mask_dim for the mask features
+  (ref: modeling/pixel_decoder/fpn.py:161-290, the mask_features conv :240-247)
+- the decoder predicts per-query class logits and mask logits at feature
+  resolution; inference upsamples masks to the padded input size
+  (pretrained_meanshiftformer_model.py:338-343 - identity here because the UCN
+  features already live at input resolution).
+
+Everything fixed-shape; the model is one flax module whose apply() is jitted by
+the inference/training pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .segnet import SEGNET, l2_normalize
+from .decoder import MeanShiftDecoder
+from .resnet import default_precision
+from ..ops.resize import resize_bilinear
+from ..config import Config
+
+
+class SimplePixelDecoder(nn.Module):
+    """Pass-through pixel decoder (ref: fpn.py SimpleBasePixelDecoder:161-290).
+
+    Returns (mask_features, multi_scale_features). The only learnable piece is a
+    3x3 conv conv_dim -> mask_dim when mask_dim != conv_dim (fpn.py:240-252,281-284).
+    """
+
+    conv_dim: int = 64
+    mask_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features):
+        y = features
+        if self.mask_dim != self.conv_dim:
+            mask_features = nn.Conv(self.mask_dim, (3, 3), padding=1,
+                                    dtype=self.dtype,
+                                    precision=default_precision(self.dtype),
+                                    name="mask_features")(y)
+        else:
+            mask_features = y
+        return mask_features, [y]
+
+
+class MSMFormer(nn.Module):
+    """End-to-end stage network (whole-image or crop) for the UCN-backbone config."""
+
+    cfg: Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image, xyz=None, train: bool = False):
+        """image: [B, H, W, 3] normalized BGR; xyz: [B, H, W, 3] or None.
+
+        H, W must already be padded to the size divisibility (32).
+        Returns dict(pred_logits [B,Q,K+1], pred_masks [B,Q,H,W], aux_outputs).
+        """
+        c = self.cfg
+        b = c.backbone
+        backbone = SEGNET(network=b.network, input_type=b.input_type,
+                          fusion_type=b.fusion_type, num_units=b.num_units,
+                          normalize=b.normalize, dtype=self.dtype,
+                          name="pretrained_backbone")
+        features = backbone(image, xyz, train=train)
+        # the meta-arch re-normalizes (pretrained_meanshiftformer_model.py:298)
+        features = l2_normalize(features, axis=-1)
+
+        pixel_decoder = SimplePixelDecoder(conv_dim=c.pixel_decoder.conv_dim,
+                                           mask_dim=c.pixel_decoder.mask_dim,
+                                           dtype=self.dtype, name="pixel_decoder")
+        mask_features, multi_scale = pixel_decoder(features)
+
+        d = c.decoder
+        decoder = MeanShiftDecoder(
+            num_classes=d.num_classes, hidden_dim=d.hidden_dim,
+            num_queries=d.num_queries, nheads=d.nheads,
+            dim_feedforward=d.dim_feedforward, dec_layers=d.dec_layers,
+            mask_dim=d.mask_dim, in_channels=d.conv_dim,
+            num_feature_levels=d.num_feature_levels,
+            enforce_input_project=d.enforce_input_project,
+            use_meanshift_cross_attention=d.use_meanshift_cross_attention,
+            use_meanshift_self_attention=d.use_meanshift_self_attention,
+            disable_attention_mask=d.disable_attention_mask,
+            decoder_block_norm=d.decoder_block_norm, kappa=d.kappa,
+            dtype=self.dtype, name="predictor")
+        outputs = decoder(multi_scale, mask_features)
+
+        if not train:
+            # upsample masks to the padded input size (identity for the UCN config,
+            # ref: pretrained_meanshiftformer_model.py:338-343)
+            hw = (image.shape[1], image.shape[2])
+            if outputs["pred_masks"].shape[-2:] != hw:
+                outputs["pred_masks"] = resize_bilinear(
+                    outputs["pred_masks"][..., None], hw, align_corners=False)[..., 0]
+        return outputs
+
+
+def build_model(cfg: Config):
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    return MSMFormer(cfg=cfg, dtype=dtype)

@@ -1,0 +1,114 @@
+"""Fixed-shape, on-device instance post-processing.
+
+The reference's host loops over ``torch.unique`` / Instances objects become
+masked fixed-size ops (max_instances slots), so the whole pipeline stays inside
+one jit graph:
+
+- instance_inference: top-k over query x class scores, mask-probability scoring
+  (ref: pretrained_meanshiftformer_model.py:461-497)
+- get_confident_instances: score thresholds
+  (ref: lib/fcn/test_utils.py:35-52)
+- combine_masks: instance bitmaps -> single label image, labels from 2, later
+  instances overwrite earlier ones (ref: test_utils.py:93-112)
+- filter_labels_depth: drop masks with too few valid-depth pixels
+  (ref: lib/fcn/test_dataset.py:183-198)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class Instances(NamedTuple):
+    """Fixed-size instance set (T = max detections)."""
+
+    masks: jax.Array      # [T, H, W] bool (mask logits > 0)
+    mask_logits: jax.Array  # [T, H, W] float
+    scores: jax.Array     # [T] float (class score * mean mask prob)
+    classes: jax.Array    # [T] int32
+    valid: jax.Array      # [T] bool
+
+
+def instance_inference(pred_logits, pred_masks, num_classes: int, topk: int) -> Instances:
+    """Per-image instance extraction (ref: instance_inference, :461-497).
+
+    pred_logits: [Q, K+1]; pred_masks: [Q, H, W] logits at output resolution.
+    Returns topk instances in descending class-score order (torch.topk order).
+    """
+    Q = pred_logits.shape[0]
+    scores = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)[:, :-1]  # [Q, K]
+    flat = scores.reshape(-1)                                 # [Q*K]
+    scores_per_image, topk_idx = jax.lax.top_k(flat, topk)    # sorted descending
+    labels_per_image = (topk_idx % num_classes).astype(jnp.int32)
+    query_idx = topk_idx // num_classes
+    mask_logits = pred_masks[query_idx].astype(jnp.float32)   # [T, H, W]
+    masks = mask_logits > 0
+    # average mask probability over the binarized mask (:494)
+    probs = jax.nn.sigmoid(mask_logits)
+    mask_scores = (probs * masks).sum((-1, -2)) / (masks.sum((-1, -2)) + 1e-6)
+    final_scores = scores_per_image * mask_scores
+    return Instances(masks=masks, mask_logits=mask_logits, scores=final_scores,
+                     classes=labels_per_image,
+                     valid=jnp.ones_like(final_scores, dtype=bool))
+
+
+def get_confident_instances(inst: Instances, topk: bool = True, score: float = 0.7,
+                            num_classes: int = 2, low_threshold: float = 0.4) -> Instances:
+    """Score filtering (ref: get_confident_instances, test_utils.py:35-52).
+
+    topk=True (the eval default): keep class==1 with score > low_threshold.
+    topk=False: keep score > score.
+    """
+    if topk and num_classes >= 2:
+        valid = (inst.classes == 1) & (inst.scores > low_threshold)
+    elif topk:
+        valid = inst.valid
+    else:
+        valid = inst.scores > score
+    return inst._replace(valid=valid & inst.valid)
+
+
+def combine_masks(inst: Instances) -> jax.Array:
+    """[H, W] int32 label image; instance t gets label t+2 and LATER instances
+    overwrite earlier ones on overlap (the reference's sequential paste,
+    test_utils.py:107-109). Labels start at 2 because 1 stands for table."""
+    T = inst.masks.shape[0]
+    ids = (jnp.arange(T, dtype=jnp.int32) + 2) * inst.valid.astype(jnp.int32)
+    stamped = inst.masks * ids[:, None, None]          # [T, H, W]
+    return jnp.max(stamped, axis=0).astype(jnp.int32)  # max id == last-pasted
+
+
+def filter_labels_depth(label, xyz_z, threshold: float, max_label: int):
+    """Zero out labels whose fraction of valid-depth (z > 0) pixels is below the
+    threshold (ref: filter_labels_depth, test_dataset.py:183-198).
+
+    label: [H, W] int32 with values in [0, max_label); xyz_z: [H, W] z channel.
+    """
+    V = max_label
+    onehot = jax.nn.one_hot(label, V, dtype=jnp.float32, axis=0)       # [V, H, W]
+    sizes = onehot.sum((-1, -2))                                        # [V]
+    valid_depth = (onehot * (xyz_z > 0)).sum((-1, -2))
+    frac = valid_depth / jnp.maximum(sizes, 1.0)
+    keep = (frac >= threshold) | (jnp.arange(V) == 0)                   # 0 = background
+    return jnp.where(keep[label], label, 0)
+
+
+def mask_to_tight_box(mask):
+    """(x_min, y_min, x_max, y_max) of a [H, W] boolean mask
+    (ref: lib/utils/mask.py mask_to_tight_box). Returns zeros for empty masks."""
+    H, W = mask.shape
+    any_row = jnp.any(mask, axis=1)
+    any_col = jnp.any(mask, axis=0)
+    ridx = jnp.arange(H)
+    cidx = jnp.arange(W)
+    y_min = jnp.min(jnp.where(any_row, ridx, H)).astype(jnp.int32)
+    y_max = jnp.max(jnp.where(any_row, ridx, -1)).astype(jnp.int32)
+    x_min = jnp.min(jnp.where(any_col, cidx, W)).astype(jnp.int32)
+    x_max = jnp.max(jnp.where(any_col, cidx, -1)).astype(jnp.int32)
+    empty = ~jnp.any(mask)
+    zero = jnp.int32(0)
+    return (jnp.where(empty, zero, x_min), jnp.where(empty, zero, y_min),
+            jnp.where(empty, zero, x_max), jnp.where(empty, zero, y_max))

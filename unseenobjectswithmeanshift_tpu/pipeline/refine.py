@@ -1,0 +1,179 @@
+"""Stage-2 zoom-in refinement: batched RoI crops + paste-back, all on device.
+
+The reference crops each detected instance (25% padded tight box), resizes to
+224x224, runs the crop network per-RoI in a Python loop with host round-trips
+(ref: lib/fcn/test_dataset.py crop_rois:62-112, match_label_crop:116-179;
+lib/fcn/test_utils.py test_sample_crop:245-336 loops predictor_crop per crop).
+Here every step is fixed-shape over max_instances slots and fully vectorized, so
+the stage-2 forward runs as ONE batched network call inside the same jit graph.
+
+Interpolation conventions preserved:
+- crop extract: bilinear align_corners=True (F.upsample_bilinear) for rgb/depth,
+  floor-nearest (F.upsample_nearest) for the mask
+- paste-back: floor-nearest from the 224 crop into the RoI box (test_dataset.py:173)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .postprocess import mask_to_tight_box
+
+
+class Crops(NamedTuple):
+    rgb: jax.Array        # [T, S, S, 3]
+    mask: jax.Array       # [T, S, S] float binary (stage-1 mask crop)
+    xyz: Optional[jax.Array]   # [T, S, S, 3] or None
+    rois: jax.Array       # [T, 4] int32 (x_min, y_min, x_max, y_max)
+    present: jax.Array    # [T] bool
+
+
+def _bilinear_sample_box(img, y_min, y_max, x_min, x_max, out_size: int):
+    """align_corners=True bilinear resample of img[y_min:y_max+1, x_min:x_max+1]
+    to [out_size, out_size]. img: [H, W, C]."""
+    S = out_size
+    fy = (y_max - y_min).astype(jnp.float32) / (S - 1)
+    fx = (x_max - x_min).astype(jnp.float32) / (S - 1)
+    sy = y_min.astype(jnp.float32) + jnp.arange(S, dtype=jnp.float32) * fy
+    sx = x_min.astype(jnp.float32) + jnp.arange(S, dtype=jnp.float32) * fx
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    H, W = img.shape[0], img.shape[1]
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (sy - y0).astype(img.dtype)
+    wx = (sx - x0).astype(img.dtype)
+    # gather rows then columns
+    top = img[y0]                        # [S, W, C]
+    bot = img[y1]
+    row = top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+    left = row[:, x0]                    # [S, S, C]
+    right = row[:, x1]
+    return left * (1 - wx)[None, :, None] + right * wx[None, :, None]
+
+
+def _nearest_sample_box(img_hw, y_min, y_max, x_min, x_max, out_size: int):
+    """floor-nearest (torch upsample_nearest) resample of a [H, W] map's box to
+    [out_size, out_size]: src = box_min + floor(i * box_size / out)."""
+    S = out_size
+    oh = (y_max - y_min + 1).astype(jnp.int32)
+    ow = (x_max - x_min + 1).astype(jnp.int32)
+    iy = y_min + (jnp.arange(S) * oh) // S
+    ix = x_min + (jnp.arange(S) * ow) // S
+    return img_hw[iy][:, ix]
+
+
+def crop_rois(image, label, xyz, max_instances: int, crop_size: int = 224,
+              padding: float = 0.25) -> Crops:
+    """Fixed-shape version of crop_rois (ref: test_dataset.py:62-112).
+
+    image: [H, W, 3]; label: [H, W] int32 (values 0 and 2..max_instances+1);
+    xyz: [H, W, 3] or None. Instance slot t corresponds to label value t+2.
+    """
+    H, W = label.shape
+    T, S = max_instances, crop_size
+
+    def one(t):
+        v = t + 2
+        mask = label == v
+        present = jnp.any(mask)
+        x_min, y_min, x_max, y_max = mask_to_tight_box(mask)
+        # pad 25% per side, torch.round (round-half-to-even) then clamp (:83-90)
+        xp = jnp.round((x_max - x_min).astype(jnp.float32) * padding).astype(jnp.int32)
+        yp = jnp.round((y_max - y_min).astype(jnp.float32) * padding).astype(jnp.int32)
+        x_min = jnp.maximum(x_min - xp, 0)
+        x_max = jnp.minimum(x_max + xp, W - 1)
+        y_min = jnp.maximum(y_min - yp, 0)
+        y_max = jnp.minimum(y_max + yp, H - 1)
+        rgb = _bilinear_sample_box(image, y_min, y_max, x_min, x_max, S)
+        m = _nearest_sample_box(mask.astype(jnp.float32), y_min, y_max, x_min, x_max, S)
+        if xyz is not None:
+            d = _bilinear_sample_box(xyz, y_min, y_max, x_min, x_max, S)
+        else:
+            d = None
+        roi = jnp.stack([x_min, y_min, x_max, y_max])
+        return rgb, m, d, roi, present
+
+    ts = jnp.arange(T)
+    rgb, m, d, rois, present = jax.vmap(one)(ts)
+    rgb = jnp.where(present[:, None, None, None], rgb, 0.0)
+    m = jnp.where(present[:, None, None], m, 0.0)
+    if d is not None:
+        d = jnp.where(present[:, None, None, None], d, 0.0)
+    return Crops(rgb=rgb, mask=m, xyz=d, rois=rois, present=present)
+
+
+def match_label_crop(labels_crop, stage1_mask_crop, rois, depth_crop, present,
+                     image_hw, overlap_threshold: float = 0.5):
+    """Merge per-crop label images back into a full-resolution refined label map.
+
+    Fixed-shape version of match_label_crop (ref: test_dataset.py:116-179):
+    1. per crop, drop predicted segments overlapping the stage-1 mask < 50%
+    2. order crops by mean valid depth over kept pixels, descending (farthest
+       pasted first; nearest wins overlaps); without depth: by RoI area
+    3. renumber kept segments sequentially (labels from 1) in paste order and
+       paste via floor-nearest resize into each RoI box
+
+    labels_crop: [T, S, S] int32 with values in [0, V); stage1_mask_crop: [T, S, S]
+    binary float; rois: [T, 4]; depth_crop: [T, S, S] (z channel) or None;
+    present: [T] bool. Returns [H, W] int32 refined labels.
+    """
+    T, S, _ = labels_crop.shape
+    V = T + 2  # candidate segment values: 0..T+1 (combine_masks emits 2..T+1 and 0)
+    H, W = image_hw
+
+    onehot = jax.nn.one_hot(labels_crop, V, dtype=jnp.float32, axis=1)  # [T, V, S, S]
+    seg_sizes = onehot.sum((-1, -2))                                    # [T, V]
+    seg_present = seg_sizes > 0
+    overlap = (onehot * stage1_mask_crop[:, None]).sum((-1, -2))        # [T, V]
+    pct = overlap / jnp.maximum(seg_sizes, 1.0)
+    keep = seg_present & (pct >= overlap_threshold) & present[:, None]  # [T, V]
+
+    # paste priority (ref :128-148)
+    if depth_crop is not None:
+        kept_pixels = keep[jnp.arange(T)[:, None, None], labels_crop]   # [T, S, S]
+        has_kept = kept_pixels.sum((-1, -2)) > 0
+        sel = jnp.where(has_kept[:, None, None], kept_pixels, True)
+        dpos = sel & (depth_crop > 0)
+        dsum = (depth_crop * dpos).sum((-1, -2))
+        dcnt = dpos.sum((-1, -2))
+        sort_key = jnp.where(dcnt > 0, dsum / jnp.maximum(dcnt, 1), jnp.inf)
+    else:
+        ow = rois[:, 2] - rois[:, 0] + 1
+        oh = rois[:, 3] - rois[:, 1] + 1
+        sort_key = (ow * oh).astype(jnp.float32)
+    order = jnp.argsort(-sort_key, stable=True)                          # descending
+
+    # sequential renumbering in paste order: crop order[j]'s kept values (ascending v)
+    # get labels offset+1, offset+2, ... (ref :150-163 'count')
+    kept_counts = keep.sum(-1).astype(jnp.int32)                         # [T]
+    counts_in_order = kept_counts[order]
+    offsets_in_order = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_in_order)[:-1]])
+    offsets = jnp.zeros(T, jnp.int32).at[order].set(offsets_in_order)    # per crop
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1)                    # 1-based rank
+    label_lookup = jnp.where(keep, offsets[:, None] + rank, 0)           # [T, V]
+    relabeled = label_lookup[jnp.arange(T)[:, None, None], labels_crop]  # [T, S, S]
+
+    # paste in order; later pastes overwrite nonzero pixels (ref :151-177)
+    Y = jnp.arange(H)[:, None]
+    X = jnp.arange(W)[None, :]
+
+    def paste(j, refined):
+        i = order[j]
+        x_min, y_min, x_max, y_max = rois[i, 0], rois[i, 1], rois[i, 2], rois[i, 3]
+        oh = (y_max - y_min + 1).astype(jnp.int32)
+        ow = (x_max - x_min + 1).astype(jnp.int32)
+        inside = (Y >= y_min) & (Y <= y_max) & (X >= x_min) & (X <= x_max)
+        cy = jnp.clip(((Y - y_min) * S) // jnp.maximum(oh, 1), 0, S - 1)
+        cx = jnp.clip(((X - x_min) * S) // jnp.maximum(ow, 1), 0, S - 1)
+        vals = relabeled[i][cy, cx]
+        write = inside & (vals > 0) & present[i]
+        return jnp.where(write, vals, refined)
+
+    refined = jnp.zeros((H, W), jnp.int32)
+    refined = jax.lax.fori_loop(0, T, paste, refined)
+    return refined
