@@ -1,0 +1,62 @@
+"""End-to-end smoke tests of the fused two-stage predictor (random weights, tiny
+shapes) - validates shapes, jit-ability, and the no-crop fallback."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unseenobjectswithmeanshift_tpu.config import get_config
+from unseenobjectswithmeanshift_tpu.pipeline.two_stage import TwoStagePredictor
+
+
+@pytest.fixture(scope="module")
+def tiny_predictor():
+    cfg = get_config("tabletop_pretrained")
+    # shrink everything for CPU tests
+    cfg.decoder.num_queries = 8
+    cfg.decoder.hidden_dim = 32
+    cfg.decoder.dim_feedforward = 64
+    cfg.decoder.dec_layers = 2
+    cfg.decoder.nheads = 4
+    cfg.decoder.mask_dim = 32
+    cfg.decoder.conv_dim = 16
+    cfg.backbone.num_units = 16
+    cfg.pixel_decoder.conv_dim = 16
+    cfg.pixel_decoder.mask_dim = 32
+    cfg.test.max_instances = 4
+    cfg.test.crop_size = 32
+    pred = TwoStagePredictor(cfg)
+    v1, v2 = pred.init(jax.random.PRNGKey(0), (64, 64), crop_size=32)
+    return pred, v1, v2
+
+
+def test_two_stage_shapes_and_determinism(tiny_predictor, rng):
+    pred, v1, v2 = tiny_predictor
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    labels, refined = pred(v1, v2, img, xyz)
+    assert labels.shape == (1, 64, 64)
+    assert refined.shape == (1, 64, 64)
+    labels2, refined2 = pred(v1, v2, img, xyz)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(labels2))
+    np.testing.assert_array_equal(np.asarray(refined), np.asarray(refined2))
+    # label values in range: stage1 in {0, 2..T+1}, refined in {0..}
+    lab = np.asarray(labels)
+    assert lab.min() >= 0 and lab.max() <= 4 + 1
+
+
+def test_two_stage_no_refine(tiny_predictor, rng):
+    pred, v1, v2 = tiny_predictor
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    labels, refined = pred(v1, v2, img, xyz, refine=False)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(refined))
+
+
+def test_two_stage_batch(tiny_predictor, rng):
+    pred, v1, v2 = tiny_predictor
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    labels, refined = pred(v1, v2, img, xyz)
+    assert labels.shape == (2, 64, 64)

@@ -32,9 +32,12 @@ class SEGNET(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _make_fcn(self, name):
-        factory = {"resnet34_8s": resnet34_8s, "resnet50_8s": resnet50_8s}[self.network]
-        m = factory(num_units=self.num_units, dtype=self.dtype)
-        return m.clone(name=name)
+        from .resnet import DilatedResNetFCN
+
+        block = {"resnet34_8s": "basic", "resnet50_8s": "bottleneck"}[self.network]
+        return DilatedResNetFCN(layers=(3, 4, 6, 3), block=block,
+                                num_units=self.num_units, output_stride=8,
+                                dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, img=None, xyz=None, train: bool = False):
