@@ -17,6 +17,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var - force via config too.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: this box has a single CPU core and XLA compiles
 # dominate test wall-time; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

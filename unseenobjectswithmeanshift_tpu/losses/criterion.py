@@ -1,0 +1,158 @@
+"""DETR-style set criterion: Hungarian-matched class CE + point-sampled mask losses.
+
+Ref: MSMFormer/meanshiftformer/modeling/criterion.py. Semantics preserved:
+- loss_labels (:122-138): weighted CE over all queries; unmatched queries get the
+  no-object class (weight eos_coef=0.1); torch F.cross_entropy's weighted MEAN
+  (normalized by the sum of per-sample weights).
+- loss_masks (:140-190): importance-sampled points (oversample 3.0, top 75%
+  uncertain + 25% random), sigmoid-CE averaged per point then summed over masks,
+  dice with +1 smoothing, both divided by num_masks.
+- num_masks is the total valid gts all-reduced over data-parallel devices
+  (jax.lax.psum replaces torch.distributed.all_reduce, :224-231), clamped to >= 1.
+- deep supervision: every aux output is matched and scored identically (:239-245).
+
+Fixed shapes: gt padded to [B, G] slots with a contiguous validity mask; matched
+pairs are processed in G slots per image with zero contribution from invalid slots.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .matcher import hungarian_match
+from .point_sample import (
+    point_sample, get_uncertain_point_coords_with_randomness,
+)
+
+
+def loss_labels(pred_logits, gt_labels, gt_valid, matched_query, num_classes: int,
+                eos_coef: float):
+    """Weighted cross entropy over ALL queries (ref: criterion.py:122-138)."""
+    B, Q, _ = pred_logits.shape
+    target = jnp.full((B, Q), num_classes, jnp.int32)
+
+    # scatter matched gt labels into target classes
+    def scatter_one(tgt, mq, labels, valid):
+        q = jnp.where(valid, mq, Q)  # invalid -> out-of-range (dropped)
+        return tgt.at[q].set(jnp.where(valid, labels, num_classes), mode="drop")
+
+    target = jax.vmap(scatter_one)(target, matched_query, gt_labels, gt_valid)
+
+    logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]  # [B, Q]
+    weights = jnp.where(target == num_classes, eos_coef, 1.0)
+    return (nll * weights).sum() / weights.sum()
+
+
+def sigmoid_ce_loss(point_logits, point_labels, pair_valid, num_masks):
+    """[M, P] -> scalar: per-mask mean BCE summed over masks / num_masks
+    (ref: criterion.py:48-70)."""
+    bce = jax.nn.softplus(point_logits) - point_logits * point_labels  # BCE w/ logits
+    per_mask = bce.mean(axis=-1) * pair_valid
+    return per_mask.sum() / num_masks
+
+
+def dice_loss(point_logits, point_labels, pair_valid, num_masks):
+    """(ref: criterion.py:21-45)"""
+    probs = jax.nn.sigmoid(point_logits)
+    numerator = 2 * (probs * point_labels).sum(-1)
+    denominator = probs.sum(-1) + point_labels.sum(-1)
+    loss = (1 - (numerator + 1) / (denominator + 1)) * pair_valid
+    return loss.sum() / num_masks
+
+
+def loss_masks(rng, pred_masks, gt_masks, gt_valid, matched_query, num_masks,
+               num_points: int, oversample_ratio: float,
+               importance_sample_ratio: float):
+    """Point-sampled mask losses over matched pairs (ref: criterion.py:140-190).
+
+    pred_masks [B, Q, H, W]; gt_masks [B, G, Hg, Wg]; matched_query [B, G].
+    """
+    B, Q = pred_masks.shape[:2]
+    G = gt_masks.shape[1]
+
+    # gather matched predictions: [B, G, H, W]
+    mq = jnp.clip(matched_query, 0, Q - 1)
+    src = jnp.take_along_axis(pred_masks, mq[:, :, None, None], axis=1)
+    src = src.reshape(B * G, *src.shape[2:]).astype(jnp.float32)
+    tgt = gt_masks.reshape(B * G, *gt_masks.shape[2:]).astype(jnp.float32)
+    pair_valid = gt_valid.reshape(B * G).astype(jnp.float32)
+
+    coords = jax.lax.stop_gradient(get_uncertain_point_coords_with_randomness(
+        rng, jax.lax.stop_gradient(src), num_points, oversample_ratio,
+        importance_sample_ratio))
+    point_labels = jax.lax.stop_gradient(point_sample(tgt, coords))
+    point_logits = point_sample(src, coords)
+
+    return {
+        "loss_mask": sigmoid_ce_loss(point_logits, point_labels, pair_valid, num_masks),
+        "loss_dice": dice_loss(point_logits, point_labels, pair_valid, num_masks),
+    }
+
+
+class SetCriterion:
+    """Functional criterion; call with model outputs and padded targets."""
+
+    def __init__(self, num_classes: int = 2, class_weight: float = 2.0,
+                 mask_weight: float = 5.0, dice_weight: float = 5.0,
+                 eos_coef: float = 0.1, num_points: int = 12544,
+                 oversample_ratio: float = 3.0,
+                 importance_sample_ratio: float = 0.75,
+                 deep_supervision: bool = True,
+                 dp_axis: Optional[str] = None):
+        self.num_classes = num_classes
+        self.class_weight = class_weight
+        self.mask_weight = mask_weight
+        self.dice_weight = dice_weight
+        self.eos_coef = eos_coef
+        self.num_points = num_points
+        self.oversample_ratio = oversample_ratio
+        self.importance_sample_ratio = importance_sample_ratio
+        self.deep_supervision = deep_supervision
+        self.dp_axis = dp_axis  # mesh axis name for the num_masks all-reduce
+
+    def weight_dict(self):
+        return {"loss_ce": self.class_weight, "loss_mask": self.mask_weight,
+                "loss_dice": self.dice_weight}
+
+    def __call__(self, rng, outputs: Dict, gt_labels, gt_masks, gt_valid):
+        """outputs: dict(pred_logits [B,Q,K+1], pred_masks [B,Q,H,W], aux_outputs);
+        gt_labels [B, G] int32; gt_masks [B, G, H, W]; gt_valid [B, G] bool with
+        valid slots contiguous from 0. Returns (total_loss, dict of raw losses)."""
+        num_masks = gt_valid.sum().astype(jnp.float32)
+        if self.dp_axis is not None:
+            num_masks = jax.lax.psum(num_masks, self.dp_axis)
+            world = jax.lax.psum(1, self.dp_axis)
+        else:
+            world = 1
+        num_masks = jnp.maximum(num_masks / world, 1.0)
+
+        heads = [outputs]
+        if self.deep_supervision and "aux_outputs" in outputs:
+            heads = heads + list(outputs["aux_outputs"])
+
+        losses = {}
+        total = 0.0
+        for i, head in enumerate(heads):
+            rng, k_match, k_pts = jax.random.split(rng, 3)
+            matched = hungarian_match(
+                k_match, head["pred_logits"], head["pred_masks"], gt_labels,
+                gt_masks, gt_valid, num_points=self.num_points,
+                cost_class=self.class_weight, cost_mask=self.mask_weight,
+                cost_dice=self.dice_weight)
+            l_ce = loss_labels(head["pred_logits"], gt_labels, gt_valid, matched,
+                               self.num_classes, self.eos_coef)
+            lm = loss_masks(k_pts, head["pred_masks"], gt_masks, gt_valid, matched,
+                            num_masks, self.num_points, self.oversample_ratio,
+                            self.importance_sample_ratio)
+            suffix = "" if i == 0 else f"_{i - 1}"
+            losses[f"loss_ce{suffix}"] = l_ce
+            losses[f"loss_mask{suffix}"] = lm["loss_mask"]
+            losses[f"loss_dice{suffix}"] = lm["loss_dice"]
+            total = total + self.class_weight * l_ce \
+                + self.mask_weight * lm["loss_mask"] \
+                + self.dice_weight * lm["loss_dice"]
+        return total, losses
