@@ -1,0 +1,150 @@
+"""MSMFormer training: optimizer rules, train step, data-parallel jit.
+
+Mirrors the reference trainer (ref: MSMFormer/tabletop_train_net_pretrained.py):
+- AdamW base lr 1e-4, weight decay 0.05 (:112-191 build_optimizer)
+- backbone parameters get lr * BACKBONE_MULTIPLIER (0.1)
+- norm-layer weights and embedding tables get weight decay 0
+  (weight_decay_norm / weight_decay_embed)
+- full-model gradient clipping at global norm 0.01 (CLIP_GRADIENTS full_model)
+- AMP -> bf16 compute dtype on TPU; the optimizer state and params stay fp32
+- samples without instances are dropped on the data side (run_step :222-229);
+  here empty images simply contribute zero mask losses via the validity mask.
+
+Data parallelism: jit with the batch dimension sharded over the mesh 'dp' axis;
+XLA inserts the gradient all-reduces (replacing DDP/NCCL) and globalizes the
+criterion's num_masks sum (replacing torch.distributed.all_reduce).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..config import Config
+from ..models.meta_arch import MSMFormer
+from ..losses.criterion import SetCriterion
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def _is_backbone(path: Tuple[str, ...]) -> bool:
+    return len(path) > 0 and str(path[0]) in ("pretrained_backbone", "backbone")
+
+
+def _is_norm_or_embed(path: Tuple[str, ...]) -> bool:
+    """BatchNorm/LayerNorm params and the learned query/level embeddings are
+    excluded from weight decay (ref: build_optimizer's weight_decay_norm /
+    weight_decay_embed rules, tabletop_train_net_pretrained.py:125-168)."""
+    last = str(path[-1])
+    parent = str(path[-2]) if len(path) > 1 else ""
+    if "bn" in parent or "norm" in parent:
+        return True
+    return last in ("query_feat", "query_embed", "level_embed")
+
+
+def make_optimizer(cfg: Config):
+    s = cfg.solver
+
+    def wd_mask(path, _):
+        return not _is_norm_or_embed(path)
+
+    def label_tree(params, fn):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, v: fn(tuple(getattr(k, "key", k) for k in p), v), params)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(s.clip_gradients),
+        optax.scale_by_adam(),
+        optax.masked(optax.add_decayed_weights(s.weight_decay),
+                     lambda params: label_tree(params, wd_mask)),
+        optax.scale(-s.base_lr),
+        # backbone lr multiplier as a final per-leaf scale
+        _scale_by_path(lambda path: s.backbone_multiplier if _is_backbone(path) else 1.0),
+    )
+    return tx
+
+
+def _scale_by_path(mult_fn):
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        scaled = jax.tree_util.tree_map_with_path(
+            lambda p, u: u * mult_fn(tuple(getattr(k, "key", k) for k in p)), updates)
+        return scaled, state
+
+    return optax.GradientTransformation(init, update)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dtype=jnp.float32):
+        self.cfg = cfg
+        self.model = MSMFormer(cfg=cfg, dtype=dtype)
+        self.criterion = SetCriterion(
+            num_classes=cfg.decoder.num_classes,
+            class_weight=cfg.loss.class_weight,
+            mask_weight=cfg.loss.mask_weight,
+            dice_weight=cfg.loss.dice_weight,
+            eos_coef=cfg.loss.no_object_weight,
+            num_points=cfg.loss.train_num_points,
+            oversample_ratio=cfg.loss.oversample_ratio,
+            importance_sample_ratio=cfg.loss.importance_sample_ratio,
+            deep_supervision=cfg.loss.deep_supervision)
+        self.tx = make_optimizer(cfg)
+
+    def init_state(self, rng, image_shape, batch_size: int = 1) -> TrainState:
+        H, W = image_shape
+        img = jnp.zeros((batch_size, H, W, 3))
+        xyz = jnp.zeros((batch_size, H, W, 3)) if self.cfg.use_depth else None
+        variables = self.model.init(rng, img, xyz, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          batch_stats=batch_stats,
+                          opt_state=self.tx.init(params))
+
+    def train_step(self, state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        """batch: image [B,H,W,3], xyz [B,H,W,3] or None, gt_labels [B,G],
+        gt_masks [B,G,H,W], gt_valid [B,G] (valid slots contiguous)."""
+
+        def loss_fn(params):
+            outputs, mutated = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], batch.get("xyz"), train=True,
+                mutable=["batch_stats"])
+            total, losses = self.criterion(rng, outputs, batch["gt_labels"],
+                                           batch["gt_masks"], batch["gt_valid"])
+            return total, (losses, mutated.get("batch_stats", state.batch_stats))
+
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, opt_state=new_opt)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        return new_state, metrics
+
+    def jit_train_step(self, mesh=None):
+        """jit the train step; with a mesh, shard the batch over 'dp'."""
+        if mesh is None:
+            return jax.jit(self.train_step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("dp"))
+        # pytree-prefix shardings: replicated state/rng, batch sharded over dp
+        return jax.jit(self.train_step, in_shardings=(repl, data, repl),
+                       out_shardings=(repl, repl))
