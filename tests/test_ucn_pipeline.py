@@ -1,0 +1,42 @@
+"""UCN legacy pipeline smoke test (tiny backbone, random weights)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unseenobjectswithmeanshift_tpu.config import get_config
+from unseenobjectswithmeanshift_tpu.pipeline.ucn import UCNPredictor
+from unseenobjectswithmeanshift_tpu.models.resnet import DilatedResNetFCN
+from unseenobjectswithmeanshift_tpu.models.segnet import SEGNET
+
+
+class TinySeg(SEGNET):
+    def _make_fcn(self, name):
+        return DilatedResNetFCN(layers=(1, 1, 1, 1), block="basic",
+                                num_units=self.num_units, output_stride=8,
+                                dtype=self.dtype, name=name)
+
+
+def test_ucn_two_stage_smoke(rng):
+    cfg = get_config("tabletop_pretrained")
+    cfg.backbone.num_units = 16
+    cfg.mean_shift.num_seeds = 12
+    cfg.test.max_instances = 4
+    cfg.test.crop_size = 32
+
+    pred = UCNPredictor(cfg)
+    pred.network = TinySeg(input_type="RGBD", fusion_type="add", num_units=16)
+    pred.network_crop = TinySeg(input_type="RGBD", fusion_type="add", num_units=16)
+    v1, v2 = pred.init(jax.random.PRNGKey(0), (64, 64), crop_size=32)
+
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) + 0.5)
+    labels, refined = pred(v1, v2, img, xyz)
+    assert labels.shape == (1, 64, 64)
+    assert refined.shape == (1, 64, 64)
+    lab = np.asarray(labels)
+    assert lab.min() >= 0
+    # label 0 is the largest cluster by construction
+    counts = np.bincount(lab.ravel())
+    assert counts[0] == counts.max()
