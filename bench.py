@@ -43,15 +43,16 @@ def main():
     img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     xyz = jnp.asarray((rng.rand(B, H, W, 3) * 2).astype(np.float32))
 
-    # warmup / compile
+    # warmup / compile (np.asarray forces completion - block_until_ready does not
+    # reliably block on the tunneled axon platform)
     labels, refined = pred(v1, v2, img, xyz)
-    jax.block_until_ready((labels, refined))
+    np.asarray(labels), np.asarray(refined)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         labels, refined = pred(v1, v2, img, xyz)
-    jax.block_until_ready((labels, refined))
+        np.asarray(labels), np.asarray(refined)
     dt = time.perf_counter() - t0
 
     img_per_sec = B * iters / dt
