@@ -58,6 +58,7 @@ class DecoderConfig:
     disable_attention_mask: bool = False
     decoder_block_norm: bool = True
     kappa: float = 30.0               # attention_util.py:26 KAPPA
+    use_pallas_attention: bool = True  # fused flash kernel for masked cross-attn (TPU only)
 
 
 @dataclass

@@ -33,6 +33,7 @@ from ..ops.hypersphere_attention import (
     MhaParams, meanshift_attention, bool_mask_to_bias, l2_normalize,
     split_heads, merge_heads,
 )
+from ..ops.pallas_attention import masked_hypersphere_attention
 from ..ops.resize import resize_bilinear
 from .position_encoding import position_embedding_sine
 from .resnet import default_precision
@@ -50,10 +51,11 @@ class MultiheadAttention(nn.Module):
     num_heads: int
     meanshift: bool = True
     kappa: float = 30.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, key, value, mask_bias=None):
+    def __call__(self, query, key, value, mask_bias=None, mask_logits=None):
         E = self.embed_dim
         p = MhaParams(
             q_kernel=self.param("q_kernel", xavier, (E, E)),
@@ -66,7 +68,23 @@ class MultiheadAttention(nn.Module):
             out_bias=self.param("out_bias", zeros, (E,)),
         )
         prec = default_precision(self.dtype)
+        if self.meanshift and self.use_pallas and mask_logits is not None:
+            # fused Pallas path: mask derived from raw mask logits inside the
+            # kernel; projections + final normalize/out-proj stay in XLA
+            dt = query.dtype
+            proj = lambda x, w, b: (jnp.einsum(
+                "ble,ef->blf", x, w.astype(dt), precision=prec) + b.astype(dt))
+            q = split_heads(proj(query, p.q_kernel, p.q_bias), self.num_heads)
+            k = split_heads(proj(key, p.k_kernel, p.k_bias), self.num_heads)
+            v = split_heads(proj(value, p.v_kernel, p.v_bias), self.num_heads)
+            out = masked_hypersphere_attention(
+                l2_normalize(q), l2_normalize(k), v,
+                jax.lax.stop_gradient(mask_logits), kappa=self.kappa)
+            out = merge_heads(l2_normalize(out))
+            return proj(out, p.out_kernel, p.out_bias)
         if self.meanshift:
+            if mask_bias is None and mask_logits is not None:
+                mask_bias = bool_mask_to_bias(mask_logits < 0)
             out, _ = meanshift_attention(p, query, key, value, self.num_heads,
                                          kappa=self.kappa, mask_bias=mask_bias,
                                          precision=prec)
@@ -127,6 +145,7 @@ class MeanShiftDecoder(nn.Module):
     disable_attention_mask: bool = False
     decoder_block_norm: bool = True
     kappa: float = 30.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -177,20 +196,20 @@ class MeanShiftDecoder(nn.Module):
                                       precision=prec)
             if self.disable_attention_mask:
                 return outputs_class, outputs_mask, None
-            # interp mask logits to target size; sigmoid(m) < 0.5 <=> m < 0
+            # raw mask logits at the next level's size; the attention mask is
+            # sigmoid(m) < 0.5 <=> m < 0 (resolved in the attention op / kernel)
             m = outputs_mask
             if attn_mask_target_size != m.shape[-2:]:
                 m = resize_bilinear(m[..., None], attn_mask_target_size,
                                     align_corners=False)[..., 0]
-            attn_bool = jax.lax.stop_gradient(m < 0).reshape(B, Q, -1)
-            # -> additive bias [B, 1, Q, HW] with the all-masked-row guard (:970)
-            return outputs_class, outputs_mask, bool_mask_to_bias(attn_bool)
+            mask_logits = jax.lax.stop_gradient(m).reshape(B, Q, -1)
+            return outputs_class, outputs_mask, mask_logits
 
         output = jnp.broadcast_to(query_feat[None].astype(dt), (B, Q, E))
         qpos = jnp.broadcast_to(query_embed[None].astype(dt), (B, Q, E))
 
         predictions_class, predictions_mask = [], []
-        outputs_class, outputs_mask, attn_bias = prediction_heads(output, sizes[0])
+        outputs_class, outputs_mask, mask_logits = prediction_heads(output, sizes[0])
         predictions_class.append(outputs_class)
         predictions_mask.append(outputs_mask)
 
@@ -200,9 +219,10 @@ class MeanShiftDecoder(nn.Module):
             tgt2 = MultiheadAttention(
                 embed_dim=E, num_heads=self.nheads,
                 meanshift=self.use_meanshift_cross_attention,
-                kappa=self.kappa, dtype=dt, name=f"cross_attn_{i}")(
+                kappa=self.kappa, use_pallas=self.use_pallas, dtype=dt,
+                name=f"cross_attn_{i}")(
                     output + qpos, srcs[l] + poss[l], srcs[l],
-                    mask_bias=None if self.disable_attention_mask else attn_bias)
+                    mask_logits=None if self.disable_attention_mask else mask_logits)
             output = ln(f"cross_norm_{i}")(output + tgt2)
 
             qk = output + qpos
@@ -222,7 +242,7 @@ class MeanShiftDecoder(nn.Module):
             if self.decoder_block_norm:
                 output = l2_normalize(output, axis=-1)
 
-            outputs_class, outputs_mask, attn_bias = prediction_heads(
+            outputs_class, outputs_mask, mask_logits = prediction_heads(
                 output, sizes[(i + 1) % self.num_feature_levels])
             predictions_class.append(outputs_class)
             predictions_mask.append(outputs_mask)

@@ -84,6 +84,8 @@ class MSMFormer(nn.Module):
         mask_features, multi_scale = pixel_decoder(features)
 
         d = c.decoder
+        use_pallas = (d.use_pallas_attention and not train
+                      and jax.default_backend() == "tpu")
         decoder = MeanShiftDecoder(
             num_classes=d.num_classes, hidden_dim=d.hidden_dim,
             num_queries=d.num_queries, nheads=d.nheads,
@@ -95,7 +97,7 @@ class MSMFormer(nn.Module):
             use_meanshift_self_attention=d.use_meanshift_self_attention,
             disable_attention_mask=d.disable_attention_mask,
             decoder_block_norm=d.decoder_block_norm, kappa=d.kappa,
-            dtype=self.dtype, name="predictor")
+            use_pallas=use_pallas, dtype=self.dtype, name="predictor")
         outputs = decoder(multi_scale, mask_features)
 
         if not train:

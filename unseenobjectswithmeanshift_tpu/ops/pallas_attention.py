@@ -1,0 +1,157 @@
+"""Fused masked hypersphere attention - Pallas TPU kernel (flash-attention style).
+
+The flagship MSMFormer configuration cross-attends 100 queries against the FULL-
+resolution feature map (480x640 = 307,200 keys; the UCN backbone upsamples to
+input size, ref: lib/networks/resnet_dilated.py Resnet34_8s.forward). A naive XLA
+formulation materializes [B, 8, 100, 307200] logits + attention weights in HBM
+(~2.5 GB fp32 per image per layer) - this kernel streams K in blocks with an
+online softmax so nothing bigger than a [128, block_k] tile ever leaves VMEM.
+
+Fusions beyond standard flash attention:
+- the attention mask is derived INSIDE the kernel from the previous layer's mask
+  logits: masked where interp(mask_logits) < 0, i.e. sigmoid < 0.5
+  (ref: meanshiftformer_transformer_decoder.py:1028-1033), shared across heads
+- the all-masked-row guard (ref :970) enters as a per-query 'unmask' bit
+- kappa scaling (ref: attention_util.py:30-82); q/k are pre-normalized outside
+  (cheap elementwise), the output L2-normalization also happens outside on the
+  tiny [B, Q, E] result.
+
+Grid: (batch, num_k_blocks); each step processes ALL heads so the (head-shared)
+mask tile is read once. Accumulators live in VMEM scratch across the K sweep.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(qn_ref, kn_ref, v_ref, mask_ref, unmask_ref, out_ref,
+                  m_scr, l_scr, acc_scr, *, kappa: float, num_heads: int,
+                  kv_len: int, block_k: int):
+    kb = pl.program_id(1)
+    nkb = pl.num_programs(1)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # mask bias, shared across heads: masked iff mask_logit < 0 and the row is
+    # not fully-masked (unmask bit)
+    mask_tile = mask_ref[0].astype(jnp.float32)          # [Qp, bk]
+    unmask = unmask_ref[0].astype(jnp.float32)           # [Qp, 1]
+    bias = jnp.where((mask_tile < 0) & (unmask < 0.5), NEG_INF, 0.0)
+    # guard for padded keys beyond kv_len
+    k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, bias.shape, 1)
+    bias = jnp.where(k_idx < kv_len, bias, NEG_INF)
+
+    for h in range(num_heads):
+        q = qn_ref[0, h]                                  # [Qp, D]
+        k = kn_ref[0, h]                                  # [bk, D]
+        v = v_ref[0, h]                                   # [bk, D]
+        s = kappa * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [Qp, bk]
+        s = s + bias
+
+        m_prev = m_scr[h][:, None]                        # [Qp, 1]
+        l_prev = l_scr[h][:, None]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)                            # [Qp, bk] fp32
+        alpha = jnp.exp(m_prev - m_new)                   # [Qp, 1]
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [Qp, D]
+        acc_scr[h] = alpha * acc_scr[h] + pv
+        m_scr[h] = m_new[:, 0]
+        l_scr[h] = l_new[:, 0]
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        for h in range(num_heads):
+            l = l_scr[h][:, None]
+            out_ref[0, h] = (acc_scr[h] / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@partial(jax.jit, static_argnames=("kappa", "block_k"))
+def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
+                                 block_k: int = 1024):
+    """qn, kn: [B, H, Q|K, D] L2-normalized per head; v: [B, H, K, D];
+    mask_logits: [B, Q, K] (attend iff >= 0; fully-negative rows are unmasked -
+    the decoder's degenerate-mask guard). Returns [B, H, Q, D] UN-normalized
+    attention output (caller applies the final L2 normalization).
+    """
+    B, H, Q, D = qn.shape
+    K = kn.shape[2]
+    Qp = _round_up(max(Q, 8), 8)
+    Kp = _round_up(K, block_k)
+
+    if Qp != Q:
+        qn = jnp.pad(qn, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+        mask_logits = jnp.pad(mask_logits, ((0, 0), (0, Qp - Q), (0, 0)))
+    if Kp != K:
+        kn = jnp.pad(kn, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+        mask_logits = jnp.pad(mask_logits, ((0, 0), (0, 0), (0, Kp - K)))
+
+    # all-masked-row guard, computed over the REAL keys only
+    unmask = jnp.all(mask_logits[..., :K] < 0, axis=-1)          # [B, Qp]
+    unmask = unmask[..., None].astype(jnp.float32)               # [B, Qp, 1]
+
+    nkb = Kp // block_k
+    grid = (B, nkb)
+
+    out = pl.pallas_call(
+        partial(_flash_kernel, kappa=float(kappa), num_heads=H, kv_len=K,
+                block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, H, Qp, D), lambda b, kb: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, block_k, D), lambda b, kb: (b, 0, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, block_k, D), lambda b, kb: (b, 0, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, block_k), lambda b, kb: (b, 0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, 1), lambda b, kb: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, Qp, D), lambda b, kb: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), qn.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H, Qp), jnp.float32),       # running max
+            pltpu.VMEM((H, Qp), jnp.float32),       # running sum
+            pltpu.VMEM((H, Qp, D), jnp.float32),    # accumulator
+        ],
+    )(qn, kn, v, mask_logits, unmask)
+    return out[:, :, :Q, :]
+
+
+def masked_hypersphere_attention_reference(qn, kn, v, mask_logits,
+                                           kappa: float = 30.0):
+    """Pure-JAX oracle with identical semantics (tests compare against this and
+    against the torch oracle)."""
+    K = kn.shape[2]
+    masked = mask_logits < 0                                     # [B, Q, K]
+    unmask = jnp.all(masked, axis=-1, keepdims=True)
+    bias = jnp.where(masked & ~unmask, NEG_INF, 0.0)[:, None]    # [B, 1, Q, K]
+    logits = kappa * jnp.einsum("bhqd,bhkd->bhqk", qn, kn,
+                                precision=jax.lax.Precision.HIGHEST)
+    attn = jax.nn.softmax(logits.astype(jnp.float32) + bias, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                      precision=jax.lax.Precision.HIGHEST)
