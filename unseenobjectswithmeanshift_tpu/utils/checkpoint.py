@@ -118,3 +118,117 @@ def convert_ucn_checkpoint(state_dict: Dict[str, np.ndarray]):
             _set(batch_stats, mod_path + ("var",), value)
 
     return {"params": params, "batch_stats": batch_stats}
+
+
+def _split3(w):
+    e = w.shape[0] // 3
+    return w[:e], w[e:2 * e], w[2 * e:]
+
+
+def convert_msmformer_checkpoint(state_dict: Dict[str, np.ndarray]):
+    """Convert a detectron2 PretrainedMeanShiftMaskFormer checkpoint to the flax
+    tree of models.meta_arch.MSMFormer.
+
+    Key layout (ref: pretrained_meanshiftformer_model.py / meanshift_former_head.py
+    / meanshiftformer_transformer_decoder.py):
+      pretrained_backbone.fcn.resnet34_8s.*             -> params/pretrained_backbone/fcn/*
+      sem_seg_head.pixel_decoder.mask_features.*        -> params/pixel_decoder/mask_features
+      sem_seg_head.predictor.query_feat.weight          -> params/predictor/query_feat
+      sem_seg_head.predictor.static_query.weight        -> (legacy) query_feat
+      sem_seg_head.predictor.input_proj.L.weight        -> params/predictor/input_proj_L
+      ...transformer_cross_attention_layers.i.meanshift_attn.in_proj_weight
+                                                        -> q/k/v kernels (split thirds)
+      ...transformer_ffn_layers.i.linear1/2             -> ffn_lin1_i / ffn_lin2_i
+      class_embed / mask_embed.layers.j / decoder_norm  -> same names
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+
+    backbone_sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("model."):
+            k = k[6:]
+        if k.startswith("pretrained_backbone."):
+            backbone_sd[k[len("pretrained_backbone."):]] = v
+    if backbone_sd:
+        bb = convert_ucn_checkpoint(backbone_sd)
+        params["pretrained_backbone"] = bb["params"]
+        batch_stats["pretrained_backbone"] = bb["batch_stats"]
+
+    def put(path, value):
+        _set(params, path, _np(value))
+
+    for key, value in state_dict.items():
+        if key.startswith("model."):
+            key = key[6:]
+        value = _np(value)
+        if key == "sem_seg_head.pixel_decoder.mask_features.weight":
+            put(("pixel_decoder", "mask_features", "kernel"), _conv_kernel(value))
+        elif key == "sem_seg_head.pixel_decoder.mask_features.bias":
+            put(("pixel_decoder", "mask_features", "bias"), value)
+        elif not key.startswith("sem_seg_head.predictor."):
+            continue
+
+        rest = key[len("sem_seg_head.predictor."):] if key.startswith(
+            "sem_seg_head.predictor.") else None
+        if rest is None:
+            continue
+        parts = rest.split(".")
+        P = ("predictor",)
+
+        if parts[0] in ("query_feat", "query_embed", "level_embed", "static_query"):
+            name = "query_feat" if parts[0] == "static_query" else parts[0]
+            put(P + (name,), value)
+        elif parts[0] == "input_proj":
+            # nn.ModuleList of Conv2d (or empty Sequential)
+            l = parts[1]
+            leaf = "kernel" if parts[2] == "weight" else "bias"
+            v_ = _conv_kernel(value) if value.ndim == 4 else value
+            put(P + (f"input_proj_{l}", leaf), v_)
+        elif parts[0] in ("transformer_cross_attention_layers",
+                          "transformer_self_attention_layers"):
+            i = parts[1]
+            kind = "cross" if "cross" in parts[0] else "self"
+            sub = parts[2]     # meanshift_attn | self_attn | multihead_attn | norm
+            if sub == "norm":
+                leaf = "scale" if parts[3] == "weight" else "bias"
+                put(P + (f"{kind}_norm_{i}", leaf), value)
+            else:
+                mod = P + (f"{kind}_attn_{i}",)
+                if parts[3] == "in_proj_weight":
+                    qw, kw, vw = _split3(value)
+                    put(mod + ("q_kernel",), qw.T)
+                    put(mod + ("k_kernel",), kw.T)
+                    put(mod + ("v_kernel",), vw.T)
+                elif parts[3] == "in_proj_bias":
+                    qb, kb, vb = _split3(value)
+                    put(mod + ("q_bias",), qb)
+                    put(mod + ("k_bias",), kb)
+                    put(mod + ("v_bias",), vb)
+                elif parts[3] == "out_proj":
+                    if parts[4] == "weight":
+                        put(mod + ("out_kernel",), value.T)
+                    else:
+                        put(mod + ("out_bias",), value)
+        elif parts[0] == "transformer_ffn_layers":
+            i = parts[1]
+            if parts[2] == "norm":
+                leaf = "scale" if parts[3] == "weight" else "bias"
+                put(P + (f"ffn_norm_{i}", leaf), value)
+            elif parts[2] in ("linear1", "linear2"):
+                n = "ffn_lin1_" if parts[2] == "linear1" else "ffn_lin2_"
+                leaf = "kernel" if parts[3] == "weight" else "bias"
+                put(P + (n + str(i), leaf), value.T if leaf == "kernel" else value)
+        elif parts[0] == "decoder_norm":
+            leaf = "scale" if parts[1] == "weight" else "bias"
+            put(P + ("decoder_norm", leaf), value)
+        elif parts[0] == "class_embed":
+            leaf = "kernel" if parts[1] == "weight" else "bias"
+            put(P + ("class_embed", leaf), value.T if leaf == "kernel" else value)
+        elif parts[0] == "mask_embed":
+            j = parts[2]
+            leaf = "kernel" if parts[3] == "weight" else "bias"
+            put(P + ("mask_embed", f"layers_{j}", leaf),
+                value.T if leaf == "kernel" else value)
+
+    return {"params": params, "batch_stats": batch_stats}
