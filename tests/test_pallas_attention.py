@@ -51,7 +51,6 @@ def _run_interpret(qn, kn, v, mask, kappa=30.0, block_k=32):
         out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), qn.dtype),
         scratch_shapes=[
             pltpu.VMEM((H, Qp), jnp.float32),
-            pltpu.VMEM((H, Qp), jnp.float32),
             pltpu.VMEM((H, Qp, D), jnp.float32),
         ],
         interpret=True,
