@@ -1,0 +1,104 @@
+"""MSMFormer training CLI (Hungarian-matched mask loss on TOD synthetic data).
+
+Mirrors MSMFormer/tabletop_train_net_pretrained.py: AdamW lr 1e-4, batch 4,
+71k iterations, backbone lr x0.1, grad clip 0.01, deep supervision; data-parallel
+over all local devices via the mesh (replacing detectron2 launch/DDP).
+Checkpoints via orbax every --checkpoint-period steps.
+
+Usage:
+  python -m unseenobjectswithmeanshift_tpu.cli.train_msmformer \
+      --root /path/to/tabletop --iters 71000 --batch 4 \
+      [--crop]          # train the 224x224 crop network (SYN_CROP mode)
+      [--init-backbone ucn_checkpoint.pth]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True)
+    p.add_argument("--iters", type=int, default=71000)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--crop", action="store_true")
+    p.add_argument("--init-backbone", default=None)
+    p.add_argument("--output", default="./output")
+    p.add_argument("--checkpoint-period", type=int, default=17500)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--log-period", type=int, default=20)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from ..config import get_config
+    from ..data.datasets import TableTopObject
+    from ..data.loader import BatchLoader
+    from ..train.trainer import Trainer
+    from ..parallel.mesh import make_mesh, shard_batch, replicate
+    from ..utils import checkpoint_io
+
+    cfg = get_config("tabletop_pretrained")
+    cfg.solver.base_lr = args.lr
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    image_hw = (224, 224) if args.crop else (480, 640)
+    dataset = TableTopObject(args.root, "train", syn_crop=args.crop,
+                             crop_size=224, seed=0)
+    loader = BatchLoader(dataset, args.batch, max_gt=cfg.loss.max_gt_instances)
+
+    trainer = Trainer(cfg, dtype=dtype)
+    state = trainer.init_state(jax.random.PRNGKey(0), image_hw,
+                               batch_size=args.batch)
+
+    if args.init_backbone:
+        from ..utils.checkpoint import load_torch_state_dict, convert_ucn_checkpoint
+
+        bb = convert_ucn_checkpoint(load_torch_state_dict(args.init_backbone))
+        params = dict(state.params)
+        params["pretrained_backbone"] = bb["params"]
+        bs = dict(state.batch_stats)
+        bs["pretrained_backbone"] = bb["batch_stats"]
+        state = state.replace(params=params, batch_stats=bs)
+        print(f"initialized UCN backbone from {args.init_backbone}")
+
+    mesh = make_mesh()
+    print(f"mesh: {mesh.devices.shape} devices")
+    step_fn = trainer.jit_train_step(mesh)
+    os.makedirs(args.output, exist_ok=True)
+
+    with mesh:
+        state = replicate(mesh, state)
+        it = 0
+        t0 = time.perf_counter()
+        while it < args.iters:
+            for batch in loader:
+                if it >= args.iters:
+                    break
+                batch = shard_batch(mesh, batch)
+                state, metrics = step_fn(state, batch, jax.random.PRNGKey(it))
+                it += 1
+                if it % args.log_period == 0:
+                    total = float(metrics["total_loss"])
+                    dt = (time.perf_counter() - t0) / args.log_period
+                    t0 = time.perf_counter()
+                    print(f"iter {it}/{args.iters} loss {total:.4f} "
+                          f"ce {float(metrics['loss_ce']):.4f} "
+                          f"mask {float(metrics['loss_mask']):.4f} "
+                          f"dice {float(metrics['loss_dice']):.4f} "
+                          f"({dt:.2f}s/it)", flush=True)
+                if it % args.checkpoint_period == 0 or it == args.iters:
+                    path = os.path.join(args.output, f"checkpoint_{it:07d}")
+                    checkpoint_io.save(path, state)
+                    print(f"saved {path}")
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()

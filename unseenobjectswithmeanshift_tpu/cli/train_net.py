@@ -1,0 +1,136 @@
+"""UCN backbone training CLI: metric-learning embedding loss on TOD.
+
+Mirrors tools/train_net.py + lib/fcn/train.py: SGD momentum 0.9, lr 1e-5, batch
+16, 16 epochs, MultiStepLR; per-iteration loss/intra/inter prints; per-epoch
+orbax snapshots with structured names (the reference's
+seg_<infix>_epoch_N.checkpoint.pth convention).
+
+Usage:
+  python -m unseenobjectswithmeanshift_tpu.cli.train_net \
+      --root /path/to/tabletop --epochs 16 --batch 16 \
+      [--crop] [--input RGBD|COLOR|DEPTH] [--fusion add|cat|early] [--sampling]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True)
+    p.add_argument("--epochs", type=int, default=16)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--lr-milestones", type=int, nargs="*", default=[])
+    p.add_argument("--gamma", type=float, default=0.1)
+    p.add_argument("--crop", action="store_true")
+    p.add_argument("--input", default="RGBD", choices=["RGBD", "COLOR", "DEPTH"])
+    p.add_argument("--fusion", default="add", choices=["add", "cat", "early"])
+    p.add_argument("--sampling", action="store_true",
+                   help="per-cluster pixel sampling (EMBEDDING_SAMPLING)")
+    p.add_argument("--output", default="./output_ucn")
+    p.add_argument("--log-period", type=int, default=20)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ..config import get_config
+    from ..data.datasets import TableTopObject
+    from ..data.loader import BatchLoader
+    from ..models.segnet import build_segnet
+    from ..losses.embedding import embedding_loss
+    from ..parallel.mesh import make_mesh, shard_batch, replicate
+    from ..utils import checkpoint_io
+
+    cfg = get_config("tabletop_pretrained")
+    cfg.backbone.input_type = args.input
+    cfg.backbone.fusion_type = args.fusion
+    cfg.use_depth = args.input in ("RGBD", "DEPTH")
+
+    dataset = TableTopObject(args.root, "train", input_type=args.input,
+                             syn_crop=args.crop, sampling=args.sampling, seed=0)
+    loader = BatchLoader(dataset, args.batch, max_gt=cfg.loss.max_gt_instances)
+    image_hw = (224, 224) if args.crop else (480, 640)
+
+    model = build_segnet(cfg)
+    img0 = jnp.zeros((1, *image_hw, 3))
+    xyz0 = img0 if cfg.use_depth else None
+    variables = model.init(jax.random.PRNGKey(0), img0, xyz0, train=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    # SGD + momentum + weight decay + MultiStepLR (tools/train_net.py:111-148)
+    boundaries = {m * (len(dataset) // args.batch): args.gamma
+                  for m in args.lr_milestones}
+    sched = optax.piecewise_constant_schedule(args.lr, boundaries)
+    tx = optax.chain(optax.add_decayed_weights(args.weight_decay),
+                     optax.sgd(sched, momentum=args.momentum))
+    opt_state = tx.init(params)
+
+    k_max = cfg.loss.max_gt_instances + 1  # clusters = bg + instances
+
+    def train_step(params, batch_stats, opt_state, batch):
+        def loss_fn(p):
+            feats, mut = model.apply({"params": p, "batch_stats": batch_stats},
+                                     batch["image"], batch.get("xyz"), train=True,
+                                     mutable=["batch_stats"])
+            loss, intra, inter = embedding_loss(
+                feats, batch["label_image"], k_max=k_max,
+                alpha=cfg.loss.embedding_alpha, delta=cfg.loss.embedding_delta,
+                lambda_intra=cfg.loss.embedding_lambda_intra,
+                lambda_inter=cfg.loss.embedding_lambda_inter)
+            return loss, (intra, inter, mut["batch_stats"])
+
+        (loss, (intra, inter, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, (loss, intra, inter)
+
+    mesh = make_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+    step_fn = jax.jit(train_step, in_shardings=(repl, repl, repl, data),
+                      out_shardings=repl)
+
+    os.makedirs(args.output, exist_ok=True)
+    infix = f"seg_resnet34_8s_embedding_cosine_{args.input.lower()}"
+    if args.input == "RGBD":
+        infix += f"_{args.fusion}"
+    if args.sampling:
+        infix += "_sampling"
+    if args.crop:
+        infix += "_crop"
+
+    with mesh:
+        params = replicate(mesh, params)
+        batch_stats = replicate(mesh, batch_stats)
+        opt_state = replicate(mesh, opt_state)
+        for epoch in range(args.epochs):
+            t0 = time.perf_counter()
+            for i, batch in enumerate(loader):
+                batch = shard_batch(mesh, batch)
+                params, batch_stats, opt_state, (loss, intra, inter) = step_fn(
+                    params, batch_stats, opt_state, batch)
+                if (i + 1) % args.log_period == 0:
+                    dt = (time.perf_counter() - t0) / (i + 1)
+                    print(f"epoch {epoch + 1}/{args.epochs} iter {i + 1} "
+                          f"loss {float(loss):.4f} intra {float(intra):.4f} "
+                          f"inter {float(inter):.4f} ({dt:.2f}s/it)", flush=True)
+            path = os.path.join(args.output, f"{infix}_epoch_{epoch + 1}.checkpoint")
+            checkpoint_io.save(path, {"params": params, "batch_stats": batch_stats})
+            print(f"saved {path}")
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()

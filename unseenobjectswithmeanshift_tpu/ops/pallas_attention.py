@@ -49,7 +49,8 @@ def _flash_kernel(qn_ref, kn_ref, v_ref, mask_ref, unmask_ref, out_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # masked iff mask_logit < 0 and the row is not fully-masked (unmask bit)
-    mask_tile = mask_ref[0]                              # [Qp, bk] (input dtype)
+    # (fp32 compare: Mosaic rejects bf16 cmpf on this target)
+    mask_tile = mask_ref[0].astype(jnp.float32)          # [Qp, bk]
     unmask = unmask_ref[0].astype(jnp.float32)           # [Qp, 1]
     k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, mask_tile.shape, 1)
     masked = ((mask_tile < 0) & (unmask < 0.5)) | (k_idx >= kv_len)  # [Qp, bk]
