@@ -113,3 +113,56 @@ class MSMFormer(nn.Module):
 def build_model(cfg: Config):
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     return MSMFormer(cfg=cfg, dtype=dtype)
+
+
+class MeanShiftMaskFormerR50(nn.Module):
+    """Standard-backbone meta-arch: ResNet50 -> MSDeformAttn pixel decoder ->
+    3-level mean-shift decoder (ref: meanshiftformer/meanshiftformer_model.py +
+    configs/UOAIS_ResNet50.yaml). Input normalization (pixel mean/std) happens
+    inside forward like the reference (:240-247); pass raw RGB uint8-scaled
+    float images [B, H, W, 3]."""
+
+    cfg: Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image, xyz=None, train: bool = False):
+        from .backbone_resnet import ResNetBackbone
+        from .pixel_decoders import MSDeformAttnPixelDecoder
+        from ..config import COCO_PIXEL_MEAN_RGB, COCO_PIXEL_STD_RGB
+
+        c = self.cfg
+        mean = jnp.asarray(COCO_PIXEL_MEAN_RGB, jnp.float32)
+        std = jnp.asarray(COCO_PIXEL_STD_RGB, jnp.float32)
+        x = ((image - mean) / std).astype(self.dtype)
+
+        features = ResNetBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+        pd = c.pixel_decoder
+        mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
+            conv_dim=pd.conv_dim, mask_dim=pd.mask_dim,
+            enc_layers=pd.transformer_enc_layers, dtype=self.dtype,
+            name="pixel_decoder")(features)
+
+        d = c.decoder
+        use_pallas = (d.use_pallas_attention and not train
+                      and jax.default_backend() == "tpu")
+        decoder = MeanShiftDecoder(
+            num_classes=d.num_classes, hidden_dim=d.hidden_dim,
+            num_queries=d.num_queries, nheads=d.nheads,
+            dim_feedforward=d.dim_feedforward, dec_layers=d.dec_layers,
+            mask_dim=d.mask_dim, in_channels=pd.conv_dim,
+            num_feature_levels=d.num_feature_levels,
+            enforce_input_project=d.enforce_input_project,
+            use_meanshift_cross_attention=d.use_meanshift_cross_attention,
+            use_meanshift_self_attention=d.use_meanshift_self_attention,
+            disable_attention_mask=d.disable_attention_mask,
+            decoder_block_norm=d.decoder_block_norm, kappa=d.kappa,
+            use_pallas=use_pallas, dtype=self.dtype, name="predictor")
+        outputs = decoder(multi_scale, mask_features)
+
+        if not train:
+            hw = (image.shape[1], image.shape[2])
+            if outputs["pred_masks"].shape[-2:] != hw:
+                outputs["pred_masks"] = resize_bilinear(
+                    outputs["pred_masks"][..., None], hw, align_corners=False)[..., 0]
+        return outputs
