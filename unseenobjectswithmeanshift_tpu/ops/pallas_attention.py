@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(qn_ref, kn_ref, v_ref, mask_ref, unmask_ref, out_ref,
+def _flash_kernel(qn_ref, kn_ref, v_ref, bias_ref, out_ref,
                   l_scr, acc_scr, *, kappa: float, num_heads: int,
                   kv_len: int, block_k: int):
     """Online-softmax sweep over K blocks with a FIXED max: logits are
@@ -48,19 +48,16 @@ def _flash_kernel(qn_ref, kn_ref, v_ref, mask_ref, unmask_ref, out_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # masked iff mask_logit < 0 and the row is not fully-masked (unmask bit)
-    # (fp32 compare: Mosaic rejects bf16 cmpf on this target)
-    mask_tile = mask_ref[0].astype(jnp.float32)          # [Qp, bk]
-    unmask = unmask_ref[0].astype(jnp.float32)           # [Qp, 1]
-    k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, mask_tile.shape, 1)
-    masked = ((mask_tile < 0) & (unmask < 0.5)) | (k_idx >= kv_len)  # [Qp, bk]
+    # additive bias precomputed outside (-BIG where masked, 0 where attending);
+    # exp(kappa*s - kappa + bias) flushes masked entries to exactly 0
+    bias = bias_ref[0].astype(jnp.float32)               # [Qp, bk]
 
     q = qn_ref[0]                                        # [H, Qp, D]
     k = kn_ref[0]                                        # [H, bk, D]
     v = v_ref[0]                                         # [H, bk, D]
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)   # [H, Qp, bk]
-    p = jnp.where(masked[None], 0.0, jnp.exp(kappa * s - kappa))  # <= 1, exact
+    p = jnp.exp(kappa * s - kappa + bias[None])          # <= 1, exact
     l_scr[:] = l_scr[:] + jnp.sum(p, axis=-1)                      # [H, Qp]
     pv = jax.lax.dot_general(p.astype(v.dtype), v,
                              (((2,), (1,)), ((0,), (0,))),
@@ -77,9 +74,9 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-@partial(jax.jit, static_argnames=("kappa", "block_k"))
+@partial(jax.jit, static_argnames=("kappa", "block_k", "interpret"))
 def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
-                                 block_k: int = 1024):
+                                 block_k: int = 1024, interpret: bool = False):
     """qn, kn: [B, H, Q|K, D] L2-normalized per head; v: [B, H, K, D];
     mask_logits: [B, Q, K] (attend iff >= 0; fully-negative rows are unmasked -
     the decoder's degenerate-mask guard). Returns [B, H, Q, D] UN-normalized
@@ -93,14 +90,19 @@ def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
     if Qp != Q:
         qn = jnp.pad(qn, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
         mask_logits = jnp.pad(mask_logits, ((0, 0), (0, Qp - Q), (0, 0)))
+
+    # additive bias: -BIG where (mask_logit < 0) unless the row is fully masked
+    # (the decoder's degenerate-mask guard); padded keys get -BIG via padding
+    MASK_BIAS = -1e4  # exp(kappa*s - kappa + MASK_BIAS) == 0 exactly in fp32
+    masked = mask_logits < 0
+    all_masked = jnp.all(masked[..., :K], axis=-1, keepdims=True)
+    bias = jnp.where(masked & ~all_masked, MASK_BIAS, 0.0).astype(qn.dtype)
+
     if Kp != K:
         kn = jnp.pad(kn, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
-        mask_logits = jnp.pad(mask_logits, ((0, 0), (0, 0), (0, Kp - K)))
-
-    # all-masked-row guard, computed over the REAL keys only
-    unmask = jnp.all(mask_logits[..., :K] < 0, axis=-1)          # [B, Qp]
-    unmask = unmask[..., None].astype(jnp.float32)               # [B, Qp, 1]
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Kp - K)),
+                       constant_values=MASK_BIAS)
 
     nkb = Kp // block_k
     grid = (B, nkb)
@@ -118,8 +120,6 @@ def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp, block_k), lambda b, kb: (b, 0, kb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Qp, 1), lambda b, kb: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, H, Qp, D), lambda b, kb: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -128,7 +128,10 @@ def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
             pltpu.VMEM((H, Qp), jnp.float32),       # running sum
             pltpu.VMEM((H, Qp, D), jnp.float32),    # accumulator
         ],
-    )(qn, kn, v, mask_logits, unmask)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(qn, kn, v, bias)
     return out[:, :, :Q, :]
 
 
