@@ -33,7 +33,7 @@ def main():
     dtype = jnp.bfloat16
 
     BATCH = int(jax.device_count())  # single chip -> 1
-    B = max(1, BATCH) * 2            # 2 images per chip per step
+    B = max(1, BATCH) * 4            # 4 images per chip per step
     H, W = 480, 640
 
     pred = TwoStagePredictor(cfg, cfg_crop, dtype=dtype)
@@ -43,17 +43,28 @@ def main():
     img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     xyz = jnp.asarray((rng.rand(B, H, W, 3) * 2).astype(np.float32))
 
-    # warmup / compile (np.asarray forces completion - block_until_ready does not
-    # reliably block on the tunneled axon platform)
-    labels, refined = pred(v1, v2, img, xyz)
-    np.asarray(labels), np.asarray(refined)
+    # A tiny on-device checksum forces completion each step without measuring the
+    # dev-tunnel's download bandwidth (block_until_ready does not reliably block
+    # on the tunneled axon platform, and full label downloads would time the
+    # tunnel, not the TPU). One full download at the end sanity-checks outputs.
+    import jax.numpy as jnp2
+
+    def run(img_, xyz_):
+        labels_, refined_ = pred._forward(v1, v2, img_, xyz_, osd=False, refine=True)
+        return jnp2.sum(labels_) + jnp2.sum(refined_), labels_, refined_
+
+    import jax as _jax
+    run_jit = _jax.jit(run)
+    checksum, labels, refined = run_jit(img, xyz)
+    np.asarray(checksum)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        labels, refined = pred(v1, v2, img, xyz)
-        np.asarray(labels), np.asarray(refined)
+        checksum, labels, refined = run_jit(img, xyz)
+        np.asarray(checksum)
     dt = time.perf_counter() - t0
+    assert np.asarray(labels).shape == (B, H, W)
 
     img_per_sec = B * iters / dt
     print(json.dumps({
