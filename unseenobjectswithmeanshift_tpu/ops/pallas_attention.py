@@ -52,15 +52,18 @@ def _flash_kernel(qn_ref, kn_ref, v_ref, bias_ref, out_ref,
     # exp(kappa*s - kappa + bias) flushes masked entries to exactly 0
     bias = bias_ref[0].astype(jnp.float32)               # [Qp, bk]
 
+    # k and v arrive TRANSPOSED [H, D, bk] so the streamed K axis is minor -
+    # with D=32 minor the (sublane, 128-lane) tiling would waste 4x of the DMA
+    # bandwidth, and this kernel is DMA-bound.
     q = qn_ref[0]                                        # [H, Qp, D]
-    k = kn_ref[0]                                        # [H, bk, D]
-    v = v_ref[0]                                         # [H, bk, D]
-    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+    kT = kn_ref[0]                                       # [H, D, bk]
+    vT = v_ref[0]                                        # [H, D, bk]
+    s = jax.lax.dot_general(q, kT, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)   # [H, Qp, bk]
     p = jnp.exp(kappa * s - kappa + bias[None])          # <= 1, exact
     l_scr[:] = l_scr[:] + jnp.sum(p, axis=-1)                      # [H, Qp]
-    pv = jax.lax.dot_general(p.astype(v.dtype), v,
-                             (((2,), (1,)), ((0,), (0,))),
+    pv = jax.lax.dot_general(p.astype(vT.dtype), vT,
+                             (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)   # [H, Qp, D]
     acc_scr[:] = acc_scr[:] + pv
 
@@ -104,6 +107,10 @@ def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Kp - K)),
                        constant_values=MASK_BIAS)
 
+    # stream K as the minor axis (see kernel docstring)
+    knT = kn.transpose(0, 1, 3, 2)                       # [B, H, D, Kp]
+    vT = v.transpose(0, 1, 3, 2)
+
     nkb = Kp // block_k
     grid = (B, nkb)
 
@@ -114,9 +121,9 @@ def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
         in_specs=[
             pl.BlockSpec((1, H, Qp, D), lambda b, kb: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, block_k, D), lambda b, kb: (b, 0, kb, 0),
+            pl.BlockSpec((1, H, D, block_k), lambda b, kb: (b, 0, 0, kb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, block_k, D), lambda b, kb: (b, 0, kb, 0),
+            pl.BlockSpec((1, H, D, block_k), lambda b, kb: (b, 0, 0, kb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp, block_k), lambda b, kb: (b, 0, kb),
                          memory_space=pltpu.VMEM),
@@ -131,7 +138,7 @@ def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(qn, kn, v, bias)
+    )(qn, knT, vT, bias)
     return out[:, :, :Q, :]
 
 
