@@ -59,3 +59,12 @@ def test_kernel_multibatch_multihead(rng):
     ref = pa.masked_hypersphere_attention_reference(qn, kn, v, mask)
     out = _run(qn, kn, v, mask, block_k=64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_kernel_kv_transposed(rng):
+    qn, kn, v, mask = _make(rng, B=2, H=2, Q=10, K=96, D=8)
+    ref = pa.masked_hypersphere_attention_reference(qn, kn, v, mask)
+    out = pa.masked_hypersphere_attention(
+        qn, kn.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2), mask,
+        block_k=32, interpret=True, kv_transposed=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

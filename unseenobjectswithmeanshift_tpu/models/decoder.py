@@ -70,16 +70,26 @@ class MultiheadAttention(nn.Module):
         prec = default_precision(self.dtype)
         if self.meanshift and self.use_pallas and mask_logits is not None:
             # fused Pallas path: mask derived from raw mask logits inside the
-            # kernel; projections + final normalize/out-proj stay in XLA
+            # kernel; projections + final normalize/out-proj stay in XLA.
+            # k/v are projected DIRECTLY into the kernel's streamed layout
+            # [B, H, D, K] (K minor) so no full-tensor transpose is ever
+            # materialized (the kernel is DMA-bound).
             dt = query.dtype
+            H = self.num_heads
+            E = self.embed_dim
+            D = E // H
             proj = lambda x, w, b: (jnp.einsum(
                 "ble,ef->blf", x, w.astype(dt), precision=prec) + b.astype(dt))
-            q = split_heads(proj(query, p.q_kernel, p.q_bias), self.num_heads)
-            k = split_heads(proj(key, p.k_kernel, p.k_bias), self.num_heads)
-            v = split_heads(proj(value, p.v_kernel, p.v_bias), self.num_heads)
+            q = split_heads(proj(query, p.q_kernel, p.q_bias), H)
+            projT = lambda x, w, b: (
+                jnp.einsum("bke,ehd->bhdk", x, w.astype(dt).reshape(E, H, D),
+                           precision=prec) + b.astype(dt).reshape(1, H, D, 1))
+            kT = projT(key, p.k_kernel, p.k_bias)
+            vT = projT(value, p.v_kernel, p.v_bias)
             out = masked_hypersphere_attention(
-                l2_normalize(q), l2_normalize(k), v,
-                jax.lax.stop_gradient(mask_logits), kappa=self.kappa)
+                l2_normalize(q), l2_normalize(kT, axis=2), vT,
+                jax.lax.stop_gradient(mask_logits), kappa=self.kappa,
+                kv_transposed=True)
             out = merge_heads(l2_normalize(out))
             return proj(out, p.out_kernel, p.out_bias)
         if self.meanshift:

@@ -77,16 +77,21 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-@partial(jax.jit, static_argnames=("kappa", "block_k", "interpret"))
+@partial(jax.jit, static_argnames=("kappa", "block_k", "interpret",
+                                   "kv_transposed"))
 def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
-                                 block_k: int = 1024, interpret: bool = False):
-    """qn, kn: [B, H, Q|K, D] L2-normalized per head; v: [B, H, K, D];
-    mask_logits: [B, Q, K] (attend iff >= 0; fully-negative rows are unmasked -
-    the decoder's degenerate-mask guard). Returns [B, H, Q, D] UN-normalized
-    attention output (caller applies the final L2 normalization).
+                                 block_k: int = 1024, interpret: bool = False,
+                                 kv_transposed: bool = False):
+    """qn: [B, H, Q, D] L2-normalized per head; kn (normalized) and v are
+    [B, H, K, D], or [B, H, D, K] when kv_transposed=True (the layout the kernel
+    streams - producing them transposed straight from the projections avoids two
+    full-tensor transposes). mask_logits: [B, Q, K] (attend iff >= 0;
+    fully-negative rows are unmasked - the decoder's degenerate-mask guard).
+    Returns [B, H, Q, D] UN-normalized attention output (caller applies the
+    final L2 normalization).
     """
     B, H, Q, D = qn.shape
-    K = kn.shape[2]
+    K = kn.shape[3] if kv_transposed else kn.shape[2]
     Qp = _round_up(max(Q, 8), 8)
     Kp = _round_up(K, block_k)
 
@@ -101,15 +106,22 @@ def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
     all_masked = jnp.all(masked[..., :K], axis=-1, keepdims=True)
     bias = jnp.where(masked & ~all_masked, MASK_BIAS, 0.0).astype(qn.dtype)
 
-    if Kp != K:
-        kn = jnp.pad(kn, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Kp - K)),
-                       constant_values=MASK_BIAS)
-
-    # stream K as the minor axis (see kernel docstring)
-    knT = kn.transpose(0, 1, 3, 2)                       # [B, H, D, Kp]
-    vT = v.transpose(0, 1, 3, 2)
+    if kv_transposed:
+        knT, vT = kn, v
+        if Kp != K:
+            knT = jnp.pad(knT, ((0, 0), (0, 0), (0, 0), (0, Kp - K)))
+            vT = jnp.pad(vT, ((0, 0), (0, 0), (0, 0), (0, Kp - K)))
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Kp - K)),
+                           constant_values=MASK_BIAS)
+    else:
+        if Kp != K:
+            kn = jnp.pad(kn, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Kp - K)),
+                           constant_values=MASK_BIAS)
+        # stream K as the minor axis (see kernel docstring)
+        knT = kn.transpose(0, 1, 3, 2)                   # [B, H, D, Kp]
+        vT = v.transpose(0, 1, 3, 2)
 
     nkb = Kp // block_k
     grid = (B, nkb)
