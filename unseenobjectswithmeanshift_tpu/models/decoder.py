@@ -265,3 +265,88 @@ class MeanShiftDecoder(nn.Module):
                 for c, m in zip(predictions_class[:-1], predictions_mask[:-1])
             ],
         }
+
+
+class StandardTransformerDecoder(nn.Module):
+    """DETR-style baseline decoder (ref: maskformer_transformer_decoder.py
+    StandardTransformerDecoder + transformer_decoder/transformer.py): queries
+    start at zero, standard (non-meanshift, unmasked) cross/self attention over
+    the last feature level, post-norm, deep supervision."""
+
+    num_classes: int = 2
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 6
+    mask_dim: int = 256
+    in_channels: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_levels, mask_features):
+        E, Q = self.hidden_dim, self.num_queries
+        x = x_levels[-1]
+        B, h, w, _ = x.shape
+        dt = self.dtype
+        prec = default_precision(dt)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=dt, name=name)
+
+        query_embed = self.param("query_embed", nn.initializers.normal(1.0), (Q, E))
+        pos = position_embedding_sine(h, w, E // 2, dtype=dt)
+        pos = jnp.broadcast_to(pos.reshape(1, h * w, E), (B, h * w, E))
+        if self.in_channels != E:
+            x = nn.Conv(E, (1, 1), dtype=dt, precision=prec, name="input_proj")(x)
+        src = x.reshape(B, h * w, E)
+
+        mask_features = mask_features.astype(dt)
+        decoder_norm = ln("decoder_norm")
+        class_embed = nn.Dense(self.num_classes + 1, dtype=dt, kernel_init=xavier,
+                               precision=prec, name="class_embed")
+        mask_embed = MLP(hidden_dim=E, output_dim=self.mask_dim, num_layers=3,
+                         dtype=dt, name="mask_embed")
+
+        qpos = jnp.broadcast_to(query_embed[None].astype(dt), (B, Q, E))
+        output = jnp.zeros((B, Q, E), dt)   # DETR queries start at zero
+
+        preds_class, preds_mask = [], []
+        for i in range(self.dec_layers):
+            qk = output + qpos
+            tgt2 = MultiheadAttention(embed_dim=E, num_heads=self.nheads,
+                                      meanshift=False, dtype=dt,
+                                      name=f"self_attn_{i}")(qk, qk, output)
+            output = ln(f"self_norm_{i}")(output + tgt2)
+            tgt2 = MultiheadAttention(embed_dim=E, num_heads=self.nheads,
+                                      meanshift=False, dtype=dt,
+                                      name=f"cross_attn_{i}")(
+                output + qpos, src + pos, src)
+            output = ln(f"cross_norm_{i}")(output + tgt2)
+            tgt2 = nn.Dense(self.dim_feedforward, dtype=dt, kernel_init=xavier,
+                            precision=prec, name=f"ffn_lin1_{i}")(output)
+            tgt2 = nn.Dense(E, dtype=dt, kernel_init=xavier, precision=prec,
+                            name=f"ffn_lin2_{i}")(nn.relu(tgt2))
+            output = ln(f"ffn_norm_{i}")(output + tgt2)
+
+            d = decoder_norm(output)
+            preds_class.append(class_embed(d))
+            me = mask_embed(d)
+            preds_mask.append(jnp.einsum("bqc,bhwc->bqhw", me, mask_features,
+                                         precision=prec))
+
+        return {
+            "pred_logits": preds_class[-1],
+            "pred_masks": preds_mask[-1],
+            "aux_outputs": [
+                {"pred_logits": c, "pred_masks": m}
+                for c, m in zip(preds_class[:-1], preds_mask[:-1])
+            ],
+        }
+
+
+# decoder registry (replaces detectron2's TRANSFORMER_DECODER_REGISTRY)
+DECODERS = {
+    "PretrainedMeanShiftTransformerDecoder": MeanShiftDecoder,
+    "MeanShiftTransformerDecoder": MeanShiftDecoder,       # 3-level via config
+    "MultiScaleMaskedTransformerDecoder": MeanShiftDecoder,  # meanshift flags off
+    "StandardTransformerDecoder": StandardTransformerDecoder,
+}
