@@ -86,10 +86,11 @@ class MultiheadAttention(nn.Module):
                            precision=prec) + b.astype(dt).reshape(1, H, D, 1))
             kT = projT(key, p.k_kernel, p.k_bias)
             vT = projT(value, p.v_kernel, p.v_bias)
+            # k passes RAW - the kernel normalizes tiles in VMEM
             out = masked_hypersphere_attention(
-                l2_normalize(q), l2_normalize(kT, axis=2), vT,
+                l2_normalize(q), kT, vT,
                 jax.lax.stop_gradient(mask_logits), kappa=self.kappa,
-                kv_transposed=True)
+                kv_transposed=True, k_normalized=False)
             out = merge_heads(l2_normalize(out))
             return proj(out, p.out_kernel, p.out_bias)
         if self.meanshift:

@@ -32,14 +32,20 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(qn_ref, kn_ref, v_ref, bias_ref, out_ref,
+def _flash_kernel(qn_ref, kT_ref, vT_ref, mask_ref, unmask_ref, out_ref,
                   l_scr, acc_scr, *, kappa: float, num_heads: int,
                   kv_len: int, block_k: int):
     """Online-softmax sweep over K blocks with a FIXED max: logits are
     kappa * cos(q, k) <= kappa by construction, so exp(s - kappa) is always in
     [0, 1] and no running-max bookkeeping is needed (exact, not approximate -
     softmax is shift invariant). All heads are processed by batched dots so the
-    (head-shared) mask tile is materialized once per step."""
+    (head-shared) mask tile is materialized once per step.
+
+    DMA-minimizing fusions: k arrives RAW and TRANSPOSED [H, D, bk] (K minor -
+    a D=32-minor layout wastes 4x tile bandwidth) and is L2-normalized on the
+    tile in VMEM; the mask is the raw mask-logits tile, compared against 0 here
+    (masked iff logit < 0 <=> sigmoid < 0.5) - neither a normalized-k copy nor
+    a bias tensor ever exists in HBM."""
     kb = pl.program_id(1)
     nkb = pl.num_programs(1)
 
@@ -48,19 +54,21 @@ def _flash_kernel(qn_ref, kn_ref, v_ref, bias_ref, out_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # additive bias precomputed outside (-BIG where masked, 0 where attending);
-    # exp(kappa*s - kappa + bias) flushes masked entries to exactly 0
-    bias = bias_ref[0].astype(jnp.float32)               # [Qp, bk]
+    # per-key mask, shared across heads; padded keys (k_idx >= kv_len) masked
+    mask_tile = mask_ref[0].astype(jnp.float32)          # [Qp, bk]
+    unmask = unmask_ref[0].astype(jnp.float32)           # [Qp, 1]
+    k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, mask_tile.shape, 1)
+    masked = ((mask_tile < 0) & (unmask < 0.5)) | (k_idx >= kv_len)
 
-    # k and v arrive TRANSPOSED [H, D, bk] so the streamed K axis is minor -
-    # with D=32 minor the (sublane, 128-lane) tiling would waste 4x of the DMA
-    # bandwidth, and this kernel is DMA-bound.
-    q = qn_ref[0]                                        # [H, Qp, D]
-    kT = kn_ref[0]                                       # [H, D, bk]
-    vT = v_ref[0]                                        # [H, D, bk]
-    s = jax.lax.dot_general(q, kT, (((2,), (1,)), ((0,), (0,))),
+    q = qn_ref[0]                                        # [H, Qp, D] normalized
+    kT = kT_ref[0].astype(jnp.float32)                   # [H, D, bk] raw
+    vT = vT_ref[0]                                       # [H, D, bk]
+    # in-tile L2 normalization of k over D
+    inv = jax.lax.rsqrt(jnp.sum(kT * kT, axis=1, keepdims=True) + 1e-24)
+    kn = (kT * inv).astype(q.dtype)
+    s = jax.lax.dot_general(q, kn, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)   # [H, Qp, bk]
-    p = jnp.exp(kappa * s - kappa + bias[None])          # <= 1, exact
+    p = jnp.where(masked[None], 0.0, jnp.exp(kappa * s - kappa))  # <= 1, exact
     l_scr[:] = l_scr[:] + jnp.sum(p, axis=-1)                      # [H, Qp]
     pv = jax.lax.dot_general(p.astype(vT.dtype), vT,
                              (((2,), (2,)), ((0,), (0,))),
@@ -78,20 +86,25 @@ def _round_up(x, m):
 
 
 @partial(jax.jit, static_argnames=("kappa", "block_k", "interpret",
-                                   "kv_transposed"))
-def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
+                                   "kv_transposed", "k_normalized"))
+def masked_hypersphere_attention(qn, k, v, mask_logits, kappa: float = 30.0,
                                  block_k: int = 1024, interpret: bool = False,
-                                 kv_transposed: bool = False):
-    """qn: [B, H, Q, D] L2-normalized per head; kn (normalized) and v are
-    [B, H, K, D], or [B, H, D, K] when kv_transposed=True (the layout the kernel
-    streams - producing them transposed straight from the projections avoids two
-    full-tensor transposes). mask_logits: [B, Q, K] (attend iff >= 0;
-    fully-negative rows are unmasked - the decoder's degenerate-mask guard).
-    Returns [B, H, Q, D] UN-normalized attention output (caller applies the
-    final L2 normalization).
+                                 kv_transposed: bool = False,
+                                 k_normalized: bool = True):
+    """qn: [B, H, Q, D] L2-normalized per head. k and v are [B, H, K, D], or
+    [B, H, D, K] when kv_transposed=True (the layout the kernel streams -
+    producing them transposed straight from the projections avoids two
+    full-tensor transposes). k may be RAW (k_normalized=False): the kernel
+    L2-normalizes tiles in VMEM, saving a full normalized copy in HBM.
+    mask_logits: [B, Q, K] (attend iff >= 0; fully-negative rows are unmasked -
+    the decoder's degenerate-mask guard). Returns [B, H, Q, D] UN-normalized
+    attention output (caller applies the final L2 normalization).
+
+    Note: the kernel always normalizes k tiles; passing k_normalized=True is
+    harmless (normalizing twice is idempotent) but wasteful - prefer raw k.
     """
     B, H, Q, D = qn.shape
-    K = kn.shape[3] if kv_transposed else kn.shape[2]
+    K = k.shape[3] if kv_transposed else k.shape[2]
     Qp = _round_up(max(Q, 8), 8)
     Kp = _round_up(K, block_k)
 
@@ -99,28 +112,23 @@ def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
         qn = jnp.pad(qn, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
         mask_logits = jnp.pad(mask_logits, ((0, 0), (0, Qp - Q), (0, 0)))
 
-    # additive bias: -BIG where (mask_logit < 0) unless the row is fully masked
-    # (the decoder's degenerate-mask guard); padded keys get -BIG via padding
-    MASK_BIAS = -1e4  # exp(kappa*s - kappa + MASK_BIAS) == 0 exactly in fp32
-    masked = mask_logits < 0
-    all_masked = jnp.all(masked[..., :K], axis=-1, keepdims=True)
-    bias = jnp.where(masked & ~all_masked, MASK_BIAS, 0.0).astype(qn.dtype)
+    # all-masked-row guard over the REAL keys (tiny [B, Q] reduction)
+    unmask = jnp.all(mask_logits[..., :K] < 0, axis=-1)[..., None]
+    unmask = unmask.astype(jnp.float32)                  # [B, Qp, 1]
 
     if kv_transposed:
-        knT, vT = kn, v
+        knT, vT = k, v
         if Kp != K:
             knT = jnp.pad(knT, ((0, 0), (0, 0), (0, 0), (0, Kp - K)))
             vT = jnp.pad(vT, ((0, 0), (0, 0), (0, 0), (0, Kp - K)))
-            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Kp - K)),
-                           constant_values=MASK_BIAS)
+            mask_logits = jnp.pad(mask_logits, ((0, 0), (0, 0), (0, Kp - K)))
     else:
         if Kp != K:
-            kn = jnp.pad(kn, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
             v = jnp.pad(v, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
-            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Kp - K)),
-                           constant_values=MASK_BIAS)
+            mask_logits = jnp.pad(mask_logits, ((0, 0), (0, 0), (0, Kp - K)))
         # stream K as the minor axis (see kernel docstring)
-        knT = kn.transpose(0, 1, 3, 2)                   # [B, H, D, Kp]
+        knT = k.transpose(0, 1, 3, 2)                    # [B, H, D, Kp]
         vT = v.transpose(0, 1, 3, 2)
 
     nkb = Kp // block_k
@@ -139,6 +147,8 @@ def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Qp, block_k), lambda b, kb: (b, 0, kb),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, 1), lambda b, kb: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, H, Qp, D), lambda b, kb: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -150,7 +160,7 @@ def masked_hypersphere_attention(qn, kn, v, mask_logits, kappa: float = 30.0,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(qn, knT, vT, bias)
+    )(qn, knT, vT, mask_logits, unmask)
     return out[:, :, :Q, :]
 
 
