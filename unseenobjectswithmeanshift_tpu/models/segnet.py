@@ -34,6 +34,16 @@ class SEGNET(nn.Module):
     def _make_fcn(self, name):
         from .resnet import DilatedResNetFCN
 
+        if self.network == "unet":
+            from .unet import UNetEmbedding
+
+            return UNetEmbedding(feature_dim=self.num_units, dtype=self.dtype,
+                                 name=name)
+        if self.network == "vgg":
+            from .unet import VGGEmbedding
+
+            return VGGEmbedding(num_units=self.num_units, dtype=self.dtype,
+                                name=name)
         block = {"resnet34_8s": "basic", "resnet50_8s": "bottleneck"}[self.network]
         return DilatedResNetFCN(layers=(3, 4, 6, 3), block=block,
                                 num_units=self.num_units, output_stride=8,

@@ -112,3 +112,38 @@ def mask_to_tight_box(mask):
     zero = jnp.int32(0)
     return (jnp.where(empty, zero, x_min), jnp.where(empty, zero, y_min),
             jnp.where(empty, zero, x_max), jnp.where(empty, zero, y_max))
+
+
+def filter_labels_bbox(label, bboxes, num_boxes_valid, max_label: int,
+                       threshold: float = 0.8):
+    """Zero out labels that lie mostly INSIDE the given boxes (ref:
+    filter_labels, test_dataset.py:202-228 - used to suppress detections on
+    known objects in the robot-pushing setting).
+
+    label: [H, W] int32; bboxes: [N, 4] (x1, y1, x2, y2) int32;
+    num_boxes_valid: scalar; labels with > threshold of their area inside the
+    union of boxes are removed.
+    """
+    H, W = label.shape
+    Y = jnp.arange(H)[:, None]
+    X = jnp.arange(W)[None, :]
+
+    def one_box(i, m):
+        x1, y1, x2, y2 = bboxes[i, 0], bboxes[i, 1], bboxes[i, 2], bboxes[i, 3]
+        x1 = jnp.maximum(x1, 0)
+        y1 = jnp.maximum(y1, 0)
+        x2 = jnp.minimum(x2, W - 1)
+        y2 = jnp.minimum(y2, H - 1)
+        inside = (Y >= y1) & (Y < y2) & (X >= x1) & (X < x2)
+        return m | (inside & (i < num_boxes_valid))
+
+    bbox_mask = jax.lax.fori_loop(0, bboxes.shape[0], one_box,
+                                  jnp.zeros((H, W), bool))
+
+    V = max_label
+    onehot = jax.nn.one_hot(label, V, dtype=jnp.float32, axis=0)
+    sizes = onehot.sum((-1, -2))
+    inside_counts = (onehot * bbox_mask).sum((-1, -2))
+    pct = inside_counts / jnp.maximum(sizes, 1.0)
+    drop = (pct > threshold) & (jnp.arange(V) != 0)
+    return jnp.where(drop[label], 0, label)

@@ -186,3 +186,12 @@ def print_metrics(result: dict) -> str:
     out = "\n".join(lines)
     print(out)
     return out
+
+
+def save_result_mat(path: str, labels, labels_refined, filename: str):
+    """Persist per-image results as .mat (ref: test_segnet,
+    lib/fcn/test_dataset.py:337-340)."""
+    import scipy.io
+
+    scipy.io.savemat(path, {"labels": labels, "labels_refined": labels_refined,
+                            "filename": filename}, do_compression=True)
