@@ -68,3 +68,19 @@ def test_r50_meta_arch_smoke(rng):
     assert out["pred_logits"].shape == (1, 8, 3)
     assert out["pred_masks"].shape == (1, 8, 64, 64)
     assert len(out["aux_outputs"]) == 3
+
+
+def test_transformer_encoder_pixel_decoder(rng):
+    from unseenobjectswithmeanshift_tpu.models.pixel_decoders import (
+        TransformerEncoderPixelDecoder,
+    )
+
+    feats = _fake_features(rng)
+    m = TransformerEncoderPixelDecoder(feature_channels=(32, 64, 128, 256),
+                                       conv_dim=32, mask_dim=32, enc_layers=2,
+                                       nheads=4, dim_feedforward=64)
+    v = m.init(jax.random.PRNGKey(0), feats)
+    mf, tf, ms = m.apply(v, feats)
+    assert mf.shape == (1, 16, 16, 32)
+    assert tf.shape == (1, 2, 2, 32)
+    assert len(ms) == 3

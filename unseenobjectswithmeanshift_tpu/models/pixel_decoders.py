@@ -191,3 +191,88 @@ class MSDeformAttnPixelDecoder(nn.Module):
                                 name="mask_features")(out[-1])
         return mask_features.astype(dt), out[0].astype(dt), \
             [m.astype(dt) for m in multi_scale]
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Standard post-norm encoder layer (ref: transformer.py TransformerEncoderLayer
+    as used by TransformerEncoderPixelDecoder; dropout 0)."""
+
+    d_model: int = 256
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos):
+        from .decoder import MultiheadAttention
+
+        prec = default_precision(self.dtype)
+        qk = src + pos
+        src2 = MultiheadAttention(embed_dim=self.d_model, num_heads=self.nheads,
+                                  meanshift=False, dtype=self.dtype,
+                                  name="self_attn")(qk, qk, src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + src2)
+        src2 = nn.Dense(self.dim_feedforward, dtype=self.dtype, precision=prec,
+                        kernel_init=xavier, name="linear1")(src)
+        src2 = nn.Dense(self.d_model, dtype=self.dtype, precision=prec,
+                        kernel_init=xavier, name="linear2")(nn.relu(src2))
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + src2)
+
+
+class TransformerEncoderPixelDecoder(nn.Module):
+    """FPN + transformer encoder on res5 (ref: fpn.py TransformerEncoderPixelDecoder
+    :333-441): res5 is projected to conv_dim, run through a 6-layer standard
+    transformer encoder with sine PE, then used as the FPN top; returns
+    (mask_features, transformer_encoder_features, multi_scale_features)."""
+
+    feature_channels: tuple = (256, 512, 1024, 2048)
+    conv_dim: int = 256
+    mask_dim: int = 256
+    enc_layers: int = 6
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    num_outputs: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jax.Array]):
+        prec = default_precision(self.dtype)
+        names = [f"res{i + 2}" for i in range(len(self.feature_channels))]
+        gn = lambda n: nn.GroupNorm(num_groups=32, dtype=self.dtype, name=n)
+
+        # transformer encoder on res5
+        x5 = features[names[-1]]
+        B, h, w, _ = x5.shape
+        x = nn.Conv(self.conv_dim, (1, 1), dtype=self.dtype, precision=prec,
+                    name="input_proj")(x5)
+        pos = position_embedding_sine(h, w, self.conv_dim // 2, dtype=self.dtype)
+        pos = jnp.broadcast_to(pos.reshape(1, h * w, -1), (B, h * w, self.conv_dim))
+        src = x.reshape(B, h * w, self.conv_dim)
+        for i in range(self.enc_layers):
+            src = TransformerEncoderLayer(d_model=self.conv_dim, nheads=self.nheads,
+                                          dim_feedforward=self.dim_feedforward,
+                                          dtype=self.dtype,
+                                          name=f"encoder_layer_{i}")(src, pos)
+        transformer_features = src.reshape(B, h, w, self.conv_dim)
+
+        # FPN top-down with the encoded res5 as the top
+        multi_scale = []
+        y = nn.relu(gn("output_norm_0")(nn.Conv(
+            self.conv_dim, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            precision=prec, name="output_conv_0")(transformer_features)))
+        multi_scale.append(y)
+        for idx, f in enumerate(names[:-1][::-1], start=1):
+            xf = features[f]
+            lat = gn(f"lateral_norm_{idx}")(nn.Conv(
+                self.conv_dim, (1, 1), use_bias=False, dtype=self.dtype,
+                precision=prec, name=f"lateral_conv_{idx}")(xf))
+            y = lat + resize_nearest(y, (xf.shape[1], xf.shape[2]))
+            y = nn.relu(gn(f"output_norm_{idx}")(nn.Conv(
+                self.conv_dim, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                precision=prec, name=f"output_conv_{idx}")(y)))
+            if len(multi_scale) < self.num_outputs:
+                multi_scale.append(y)
+
+        mask_features = nn.Conv(self.mask_dim, (3, 3), padding=1, dtype=self.dtype,
+                                precision=prec, name="mask_features")(y)
+        return mask_features, transformer_features, multi_scale
