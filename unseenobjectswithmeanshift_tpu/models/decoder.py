@@ -157,6 +157,7 @@ class MeanShiftDecoder(nn.Module):
     decoder_block_norm: bool = True
     kappa: float = 30.0
     use_pallas: bool = False
+    use_meanshift_seeds: bool = False   # dormant reference path (:552-568,:904-921)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -216,7 +217,20 @@ class MeanShiftDecoder(nn.Module):
             mask_logits = jax.lax.stop_gradient(m).reshape(B, Q, -1)
             return outputs_class, outputs_mask, mask_logits
 
-        output = jnp.broadcast_to(query_feat[None].astype(dt), (B, Q, E))
+        if self.use_meanshift_seeds:
+            # initialize queries from farthest-point seeds of the last feature
+            # map instead of the learned query_feat (the reference's dormant
+            # use_meanshift_seeds path, ref :904-921)
+            from ..ops.mean_shift import select_smart_seeds
+
+            feat = x_levels[-1]
+            X = feat.reshape(B, -1, feat.shape[-1]).astype(jnp.float32)
+            seeds = jax.vmap(lambda x: select_smart_seeds(x, Q, 0)[0])(X)
+            if seeds.shape[-1] != E:
+                seeds = nn.Dense(E, dtype=dt, name="seed_proj")(seeds.astype(dt))
+            output = seeds.astype(dt)
+        else:
+            output = jnp.broadcast_to(query_feat[None].astype(dt), (B, Q, E))
         qpos = jnp.broadcast_to(query_embed[None].astype(dt), (B, Q, E))
 
         predictions_class, predictions_mask = [], []
