@@ -44,11 +44,14 @@ def instance_inference(pred_logits, pred_masks, num_classes: int, topk: int) -> 
     scores_per_image, topk_idx = jax.lax.top_k(flat, topk)    # sorted descending
     labels_per_image = (topk_idx % num_classes).astype(jnp.int32)
     query_idx = topk_idx // num_classes
-    mask_logits = pred_masks[query_idx].astype(jnp.float32)   # [T, H, W]
+    # keep the gathered masks in the model dtype (bf16 halves HBM traffic on the
+    # big [T, H, W] maps); only the tiny reductions accumulate in fp32
+    mask_logits = pred_masks[query_idx]                       # [T, H, W]
     masks = mask_logits > 0
     # average mask probability over the binarized mask (:494)
     probs = jax.nn.sigmoid(mask_logits)
-    mask_scores = (probs * masks).sum((-1, -2)) / (masks.sum((-1, -2)) + 1e-6)
+    mask_scores = (probs * masks).astype(jnp.float32).sum((-1, -2)) / (
+        masks.astype(jnp.float32).sum((-1, -2)) + 1e-6)
     final_scores = scores_per_image * mask_scores
     return Instances(masks=masks, mask_logits=mask_logits, scores=final_scores,
                      classes=labels_per_image,
