@@ -132,9 +132,11 @@ def match_label_crop(labels_crop, stage1_mask_crop, rois, depth_crop, present,
     pct = overlap / jnp.maximum(seg_sizes, 1.0)
     keep = seg_present & (pct >= overlap_threshold) & present[:, None]  # [T, V]
 
-    # paste priority (ref :128-148)
+    # paste priority (ref :128-148). Value-index lookups go through the one-hot
+    # as einsums (exact for small ints) - 2D gathers are TPU-hostile.
     if depth_crop is not None:
-        kept_pixels = keep[jnp.arange(T)[:, None, None], labels_crop]   # [T, S, S]
+        kept_pixels = jnp.einsum("tvhw,tv->thw", onehot,
+                                 keep.astype(jnp.float32)) > 0.5        # [T, S, S]
         has_kept = kept_pixels.sum((-1, -2)) > 0
         sel = jnp.where(has_kept[:, None, None], kept_pixels, True)
         dpos = sel & (depth_crop > 0)
@@ -156,22 +158,32 @@ def match_label_crop(labels_crop, stage1_mask_crop, rois, depth_crop, present,
     offsets = jnp.zeros(T, jnp.int32).at[order].set(offsets_in_order)    # per crop
     rank = jnp.cumsum(keep.astype(jnp.int32), axis=1)                    # 1-based rank
     label_lookup = jnp.where(keep, offsets[:, None] + rank, 0)           # [T, V]
-    relabeled = label_lookup[jnp.arange(T)[:, None, None], labels_crop]  # [T, S, S]
+    relabeled = jnp.einsum("tvhw,tv->thw", onehot,
+                           label_lookup.astype(jnp.float32))             # [T, S, S]
 
-    # paste in order; later pastes overwrite nonzero pixels (ref :151-177)
-    Y = jnp.arange(H)[:, None]
-    X = jnp.arange(W)[None, :]
+    # Paste in order; later pastes overwrite nonzero pixels (ref :151-177).
+    # The floor-nearest resize into the dynamic RoI box is expressed as two
+    # one-hot selector MATMULS (rows then columns): selectors are built from
+    # iota comparisons and are zero outside the box, so the matmul both resizes
+    # and places the crop - no gathers, runs on the MXU, exact for int labels.
+    Y = jnp.arange(H)[:, None]                                           # [H, 1]
+    X = jnp.arange(W)[:, None]                                           # [W, 1]
+    Srange = jnp.arange(S)[None, :]                                      # [1, S]
 
     def paste(j, refined):
         i = order[j]
         x_min, y_min, x_max, y_max = rois[i, 0], rois[i, 1], rois[i, 2], rois[i, 3]
-        oh = (y_max - y_min + 1).astype(jnp.int32)
-        ow = (x_max - x_min + 1).astype(jnp.int32)
-        inside = (Y >= y_min) & (Y <= y_max) & (X >= x_min) & (X <= x_max)
-        cy = jnp.clip(((Y - y_min) * S) // jnp.maximum(oh, 1), 0, S - 1)
-        cx = jnp.clip(((X - x_min) * S) // jnp.maximum(ow, 1), 0, S - 1)
-        vals = relabeled[i][cy, cx]
-        write = inside & (vals > 0) & present[i]
+        oh = jnp.maximum((y_max - y_min + 1).astype(jnp.int32), 1)
+        ow = jnp.maximum((x_max - x_min + 1).astype(jnp.int32), 1)
+        in_y = (Y[:, 0] >= y_min) & (Y[:, 0] <= y_max)
+        in_x = (X[:, 0] >= x_min) & (X[:, 0] <= x_max)
+        cy = jnp.clip(((Y - y_min) * S) // oh, 0, S - 1)                 # [H, 1]
+        cx = jnp.clip(((X - x_min) * S) // ow, 0, S - 1)                 # [W, 1]
+        Wy = ((cy == Srange) & in_y[:, None]).astype(jnp.float32)        # [H, S]
+        Wx = ((cx == Srange) & in_x[:, None]).astype(jnp.float32)        # [W, S]
+        vals = Wy @ relabeled[i] @ Wx.T                                  # [H, W]
+        vals = vals.astype(jnp.int32)
+        write = (vals > 0) & present[i]
         return jnp.where(write, vals, refined)
 
     refined = jnp.zeros((H, W), jnp.int32)
