@@ -68,3 +68,25 @@ def test_kernel_kv_transposed(rng):
         qn, kn.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2), mask,
         block_k=32, interpret=True, kv_transposed=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_projection_kernel_matches_reference(rng):
+    B, H, Q, K, D, E = 2, 2, 10, 96, 8, 16
+    qn = l2_normalize(jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32)))
+    base = jnp.asarray(rng.randn(B, K, E).astype(np.float32))
+    pos = jnp.asarray(rng.randn(K, E).astype(np.float32))
+    wk = jnp.asarray(rng.randn(E, H * D).astype(np.float32) * 0.2)
+    bk = jnp.asarray(rng.randn(H * D).astype(np.float32) * 0.1)
+    wv = jnp.asarray(rng.randn(E, H * D).astype(np.float32) * 0.2)
+    bv = jnp.asarray(rng.randn(H * D).astype(np.float32) * 0.1)
+    mask = jnp.asarray(rng.randn(B, Q, K).astype(np.float32))
+    mask = mask.at[0, 3, :].set(-5.0)   # degenerate row
+
+    # reference composition: project outside, normalize, unfused oracle
+    k = ((base + pos[None]) @ wk + bk).reshape(B, K, H, D).transpose(0, 2, 1, 3)
+    v = (base @ wv + bv).reshape(B, K, H, D).transpose(0, 2, 1, 3)
+    ref = pa.masked_hypersphere_attention_reference(qn, l2_normalize(k), v, mask)
+
+    out = pa.fused_masked_hypersphere_attention(
+        qn, base, pos, wk, bk, wv, bv, mask, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

@@ -33,7 +33,9 @@ from ..ops.hypersphere_attention import (
     MhaParams, meanshift_attention, bool_mask_to_bias, l2_normalize,
     split_heads, merge_heads,
 )
-from ..ops.pallas_attention import masked_hypersphere_attention
+from ..ops.pallas_attention import (
+    masked_hypersphere_attention, fused_masked_hypersphere_attention,
+)
 from ..ops.resize import resize_bilinear
 from .position_encoding import position_embedding_sine
 from .resnet import default_precision
@@ -55,7 +57,8 @@ class MultiheadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, key, value, mask_bias=None, mask_logits=None):
+    def __call__(self, query, key, value, mask_bias=None, mask_logits=None,
+                 key_base=None, key_pos=None):
         E = self.embed_dim
         p = MhaParams(
             q_kernel=self.param("q_kernel", xavier, (E, E)),
@@ -68,6 +71,23 @@ class MultiheadAttention(nn.Module):
             out_bias=self.param("out_bias", zeros, (E,)),
         )
         prec = default_precision(self.dtype)
+        if (self.meanshift and self.use_pallas and mask_logits is not None
+                and key_base is not None):
+            # FULLY fused path: the kernel streams the raw feature tiles once
+            # and computes the k/v projections in VMEM (k gets +pos, v does
+            # not, ref: MeanShiftCrossAttentionLayer :250-253)
+            dt = query.dtype
+            proj = lambda x, w, b: (jnp.einsum(
+                "ble,ef->blf", x, w.astype(dt), precision=prec) + b.astype(dt))
+            q = l2_normalize(split_heads(proj(query, p.q_kernel, p.q_bias),
+                                         self.num_heads))
+            out = fused_masked_hypersphere_attention(
+                q, key_base, key_pos.astype(dt),
+                p.k_kernel.astype(dt), p.k_bias.astype(dt),
+                p.v_kernel.astype(dt), p.v_bias.astype(dt),
+                jax.lax.stop_gradient(mask_logits), kappa=self.kappa)
+            out = merge_heads(l2_normalize(out))
+            return proj(out, p.out_kernel, p.out_bias)
         if self.meanshift and self.use_pallas and mask_logits is not None:
             # fused Pallas path: mask derived from raw mask logits inside the
             # kernel; projections + final normalize/out-proj stay in XLA.
@@ -181,11 +201,12 @@ class MeanShiftDecoder(nn.Module):
                                  (self.num_feature_levels, E))
 
         # flatten levels: src (projected + level embed) and positional encodings
-        srcs, poss, sizes = [], [], []
+        srcs, poss, poss_flat, sizes = [], [], [], []
         for l, x in enumerate(x_levels):
             h, w = x.shape[1], x.shape[2]
             sizes.append((h, w))
             pos = position_embedding_sine(h, w, E // 2, dtype=dt)
+            poss_flat.append(pos.reshape(h * w, E))
             poss.append(jnp.broadcast_to(pos.reshape(1, h * w, E), (B, h * w, E)))
             if self.in_channels != E or self.enforce_input_project:
                 x = nn.Conv(E, (1, 1), dtype=dt, precision=prec,
@@ -238,16 +259,25 @@ class MeanShiftDecoder(nn.Module):
         predictions_class.append(outputs_class)
         predictions_mask.append(outputs_mask)
 
+        use_fused = (self.use_pallas and self.use_meanshift_cross_attention
+                     and not self.disable_attention_mask)
         for i in range(self.dec_layers):
             l = i % self.num_feature_levels
             # cross-attention first (Mask2Former ordering)
-            tgt2 = MultiheadAttention(
+            attn = MultiheadAttention(
                 embed_dim=E, num_heads=self.nheads,
                 meanshift=self.use_meanshift_cross_attention,
                 kappa=self.kappa, use_pallas=self.use_pallas, dtype=dt,
-                name=f"cross_attn_{i}")(
-                    output + qpos, srcs[l] + poss[l], srcs[l],
-                    mask_logits=None if self.disable_attention_mask else mask_logits)
+                name=f"cross_attn_{i}")
+            if use_fused:
+                # the fused kernel adds pos to keys per tile; never materialize
+                # the [B, HW, E] key sum in HBM
+                tgt2 = attn(output + qpos, None, None, mask_logits=mask_logits,
+                            key_base=srcs[l], key_pos=poss_flat[l])
+            else:
+                tgt2 = attn(output + qpos, srcs[l] + poss[l], srcs[l],
+                            mask_logits=None if self.disable_attention_mask
+                            else mask_logits)
             output = ln(f"cross_norm_{i}")(output + tgt2)
 
             qk = output + qpos

@@ -177,3 +177,129 @@ def masked_hypersphere_attention_reference(qn, kn, v, mask_logits,
     attn = jax.nn.softmax(logits.astype(jnp.float32) + bias, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused variant: k/v PROJECTIONS inside the kernel.
+#
+# The decoder's cross-attention reads the flattened feature map three times per
+# layer in the unfused form (k-proj, v-proj, then the kernel re-reads both
+# projections) - at stage-2 scale (80 crops x 50k keys x 256) that is ~10 GB of
+# HBM traffic per layer. Here the kernel streams the SOURCE tiles once and
+# computes k = (src + pos) @ Wk, v = src @ Wv per tile in VMEM (the reference
+# adds positional encodings to keys but not values,
+# ref: MeanShiftCrossAttentionLayer forward_post :250-253).
+# ---------------------------------------------------------------------------
+
+
+def _fused_flash_kernel(qn_ref, base_ref, pos_ref, wk_ref, bk_ref, wv_ref,
+                        bv_ref, mask_ref, unmask_ref, out_ref, l_scr, acc_scr,
+                        *, kappa: float, num_heads: int, head_dim: int,
+                        kv_len: int, block_k: int):
+    kb = pl.program_id(1)
+    nkb = pl.num_programs(1)
+    H, D = num_heads, head_dim
+
+    @pl.when(kb == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    mask_tile = mask_ref[0].astype(jnp.float32)          # [Qp, bk]
+    unmask = unmask_ref[0].astype(jnp.float32)           # [Qp, 1]
+    k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, mask_tile.shape, 1)
+    masked = ((mask_tile < 0) & (unmask < 0.5)) | (k_idx >= kv_len)
+
+    base = base_ref[0]                                   # [bk, E]
+    pos = pos_ref[:]                                     # [bk, E]
+    keyin = base + pos
+    k_all = jax.lax.dot_general(keyin, wk_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    k_all = k_all + bk_ref[:].astype(jnp.float32)        # [bk, H*D]
+    v_all = jax.lax.dot_general(base, wv_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    v_all = (v_all + bv_ref[:].astype(jnp.float32)).astype(base.dtype)
+
+    for h in range(H):
+        kh = k_all[:, h * D:(h + 1) * D]                 # [bk, D] fp32
+        inv = jax.lax.rsqrt(jnp.sum(kh * kh, axis=1, keepdims=True) + 1e-24)
+        knh = (kh * inv).astype(qn_ref.dtype)
+        q = qn_ref[0, h]                                 # [Qp, D]
+        s = jax.lax.dot_general(q, knh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [Qp, bk]
+        p = jnp.where(masked, 0.0, jnp.exp(kappa * s - kappa))
+        l_scr[h] = l_scr[h] + jnp.sum(p, axis=-1)
+        vh = v_all[:, h * D:(h + 1) * D]                 # [bk, D]
+        pv = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[h] = acc_scr[h] + pv
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        l = l_scr[:][:, :, None]
+        out_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("kappa", "block_k", "interpret"))
+def fused_masked_hypersphere_attention(qn, base, pos, wk, bk, wv, bv,
+                                       mask_logits, kappa: float = 30.0,
+                                       block_k: int = 1024,
+                                       interpret: bool = False):
+    """qn: [B, H, Q, D] normalized projected queries; base: [B, K, E] flattened
+    features (+ level embed); pos: [K, E] positional encoding (batch-shared);
+    wk/wv: [E, H*D] projection kernels; bk/bv: [H*D] biases;
+    mask_logits: [B, Q, K]. Returns [B, H, Q, D] un-normalized output."""
+    B, H, Q, D = qn.shape
+    K = base.shape[1]
+    E = base.shape[2]
+    Qp = _round_up(max(Q, 8), 8)
+    Kp = _round_up(K, block_k)
+
+    if Qp != Q:
+        qn = jnp.pad(qn, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+        mask_logits = jnp.pad(mask_logits, ((0, 0), (0, Qp - Q), (0, 0)))
+    unmask = jnp.all(mask_logits[..., :K] < 0, axis=-1)[..., None]
+    unmask = unmask.astype(jnp.float32)
+
+    if Kp != K:
+        base = jnp.pad(base, ((0, 0), (0, Kp - K), (0, 0)))
+        pos = jnp.pad(pos, ((0, Kp - K), (0, 0)))
+        mask_logits = jnp.pad(mask_logits, ((0, 0), (0, 0), (0, Kp - K)))
+
+    out = pl.pallas_call(
+        partial(_fused_flash_kernel, kappa=float(kappa), num_heads=H,
+                head_dim=D, kv_len=K, block_k=block_k),
+        grid=(B, Kp // block_k),
+        in_specs=[
+            pl.BlockSpec((1, H, Qp, D), lambda b, kb: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, E), lambda b, kb: (b, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, E), lambda b, kb: (kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, H * D), lambda b, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H * D,), lambda b, kb: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, H * D), lambda b, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H * D,), lambda b, kb: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, block_k), lambda b, kb: (b, 0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, 1), lambda b, kb: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, Qp, D), lambda b, kb: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), qn.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H, Qp), jnp.float32),
+            pltpu.VMEM((H, Qp, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(qn, base, pos, wk, bk, wv, bv, mask_logits, unmask)
+    return out[:, :, :Q, :]
