@@ -259,8 +259,10 @@ class MeanShiftDecoder(nn.Module):
         predictions_class.append(outputs_class)
         predictions_mask.append(outputs_mask)
 
-        use_fused = (self.use_pallas and self.use_meanshift_cross_attention
-                     and not self.disable_attention_mask)
+        # The fully fused (in-kernel projection) kernel measured SLOWER than the
+        # kv-transposed path on v5e (per-head unrolled dots beat the saved
+        # bandwidth only at much larger E); keep it available but off.
+        use_fused = False
         for i in range(self.dec_layers):
             l = i % self.num_feature_levels
             # cross-attention first (Mask2Former ordering)
