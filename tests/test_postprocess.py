@@ -33,11 +33,15 @@ def np_instance_inference(logits, masks, num_classes, topk):
 
 
 def np_combine_masks(masks, valid):
+    """The reference filters first, then labels contiguously from 2
+    (test_utils.py combine_masks :93-112)."""
     h, w = masks.shape[-2:]
     out = np.zeros((h, w), np.int32)
+    label = 2
     for t in range(masks.shape[0]):
         if valid[t]:
-            out[masks[t]] = t + 2
+            out[masks[t]] = label
+            label += 1
     return out
 
 

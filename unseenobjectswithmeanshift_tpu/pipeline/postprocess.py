@@ -75,13 +75,18 @@ def get_confident_instances(inst: Instances, topk: bool = True, score: float = 0
 
 
 def combine_masks(inst: Instances) -> jax.Array:
-    """[H, W] int32 label image; instance t gets label t+2 and LATER instances
-    overwrite earlier ones on overlap (the reference's sequential paste,
-    test_utils.py:107-109). Labels start at 2 because 1 stands for table."""
-    T = inst.masks.shape[0]
-    ids = (jnp.arange(T, dtype=jnp.int32) + 2) * inst.valid.astype(jnp.int32)
+    """[H, W] int32 label image. The reference filters to confident instances
+    FIRST and then assigns labels contiguously 2..N+1 in instance order, with
+    LATER instances overwriting earlier ones on overlap (test_utils.py:107-109).
+    Labels start at 2 because 1 stands for table. The fixed-shape equivalent of
+    the filtering is a cumsum rank over the valid slots, so valid instance #k
+    (in slot order) gets label k+2 with no gaps - bitwise-identical to the
+    reference's renumbering."""
+    ranks = jnp.cumsum(inst.valid.astype(jnp.int32))   # [T] 1-based among valid
+    ids = (ranks + 1) * inst.valid.astype(jnp.int32)   # k-th valid -> k+1+1 = 2..N+1
     stamped = inst.masks * ids[:, None, None]          # [T, H, W]
-    return jnp.max(stamped, axis=0).astype(jnp.int32)  # max id == last-pasted
+    return jnp.max(stamped, axis=0).astype(jnp.int32)  # ids increase in slot order,
+    # so max == last-pasted (the reference's overwrite semantics)
 
 
 def filter_labels_depth(label, xyz_z, threshold: float, max_label: int):
