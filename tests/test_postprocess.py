@@ -269,3 +269,22 @@ def test_match_label_crop_overlapping_roi_priority(rng):
     np.testing.assert_array_equal(out, ref)
     # crop 1 (closer) wins the overlap region
     assert out[8, 8] == out[6, 6]
+
+
+def test_instance_inference_from_embeds_matches(rng):
+    """The light path (mask_embed + mask_features, masks built only for the
+    selected top-k queries) must equal the full-masks path exactly."""
+    Q, K, H, W, C, T = 12, 2, 16, 16, 8, 5
+    logits = rng.randn(Q, K + 1).astype(np.float32)
+    me = rng.randn(Q, C).astype(np.float32)
+    mf = rng.randn(H, W, C).astype(np.float32)
+    masks = np.einsum("qc,hwc->qhw", me, mf)
+    full = instance_inference(jnp.asarray(logits), jnp.asarray(masks), K, topk=T)
+    light = instance_inference(jnp.asarray(logits), None, K, topk=T,
+                               mask_embed=jnp.asarray(me),
+                               mask_features=jnp.asarray(mf), out_hw=(H, W))
+    np.testing.assert_array_equal(np.asarray(full.masks), np.asarray(light.masks))
+    np.testing.assert_allclose(np.asarray(full.scores), np.asarray(light.scores),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(full.classes),
+                                  np.asarray(light.classes))

@@ -36,6 +36,7 @@ from ..ops.hypersphere_attention import (
 from ..ops.pallas_attention import (
     masked_hypersphere_attention, fused_masked_hypersphere_attention,
 )
+from ..ops.fused_cross_attention import fused_uoms_cross_attention
 from ..ops.resize import resize_bilinear
 from .position_encoding import position_embedding_sine
 from .resnet import default_precision
@@ -58,7 +59,7 @@ class MultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, mask_bias=None, mask_logits=None,
-                 key_base=None, key_pos=None):
+                 key_base=None, key_pos=None, fused_inputs=None, present=None):
         E = self.embed_dim
         p = MhaParams(
             q_kernel=self.param("q_kernel", xavier, (E, E)),
@@ -71,6 +72,35 @@ class MultiheadAttention(nn.Module):
             out_bias=self.param("out_bias", zeros, (E,)),
         )
         prec = default_precision(self.dtype)
+        if self.meanshift and self.use_pallas and fused_inputs is not None:
+            # FULLY fused path v2 (ops/fused_cross_attention.py): the kernel
+            # streams the 64-ch feature map + mask features and computes the
+            # k/v projections (input_proj folded), pos projection, attention
+            # mask and the all-masked-row guard in VMEM. Nothing per-layer is
+            # materialized in HBM.
+            featT, mfT, me, posT, win, cin = fused_inputs
+            dt = query.dtype
+            f32 = jnp.float32
+            proj = lambda x, w, b: (jnp.einsum(
+                "ble,ef->blf", x, w.astype(dt), precision=prec) + b.astype(dt))
+            q = l2_normalize(split_heads(proj(query, p.q_kernel, p.q_bias),
+                                         self.num_heads))
+            if win is not None:
+                awk = (win.astype(f32) @ p.k_kernel.astype(f32)).astype(dt)
+                awv = (win.astype(f32) @ p.v_kernel.astype(f32)).astype(dt)
+            else:
+                awk = p.k_kernel.astype(dt)
+                awv = p.v_kernel.astype(dt)
+            ck = (cin.astype(f32) @ p.k_kernel.astype(f32)
+                  + p.k_bias.astype(f32)).astype(dt)
+            cv = (cin.astype(f32) @ p.v_kernel.astype(f32)
+                  + p.v_bias.astype(f32)).astype(dt)
+            out = fused_uoms_cross_attention(
+                q, featT, mfT, jax.lax.stop_gradient(me), posT.astype(dt),
+                awk, awv, p.k_kernel.astype(dt), ck, cv, present=present,
+                kappa=self.kappa)
+            out = merge_heads(l2_normalize(out))
+            return proj(out, p.out_kernel, p.out_bias)
         if (self.meanshift and self.use_pallas and mask_logits is not None
                 and key_base is not None):
             # FULLY fused path: the kernel streams the raw feature tiles once
@@ -138,6 +168,30 @@ class MultiheadAttention(nn.Module):
         return proj(out, p.out_kernel, p.out_bias)
 
 
+class Conv1x1(nn.Module):
+    """1x1 conv with nn.Conv-compatible params ([1,1,C,E] kernel + bias) whose
+    raw weights are also directly accessible - the fused cross-attention kernel
+    folds input_proj into the k/v projections instead of applying it."""
+
+    in_features: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (1, 1, self.in_features, self.features))
+        self.bias = self.param("bias", zeros, (self.features,))
+
+    def __call__(self, x):
+        w = self.kernel[0, 0].astype(self.dtype)
+        return (jnp.einsum("...c,cf->...f", x.astype(self.dtype), w,
+                           precision=default_precision(self.dtype))
+                + self.bias.astype(self.dtype))
+
+    def raw(self):
+        return self.kernel[0, 0], self.bias
+
+
 class MLP(nn.Module):
     """Simple relu MLP (ref: meanshiftformer_transformer_decoder.py:329-341)."""
 
@@ -178,10 +232,12 @@ class MeanShiftDecoder(nn.Module):
     kappa: float = 30.0
     use_pallas: bool = False
     use_meanshift_seeds: bool = False   # dormant reference path (:552-568,:904-921)
+    materialize_masks: bool = True      # False: fused path returns mask_embed only
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_levels: List[jax.Array], mask_features: jax.Array):
+    def __call__(self, x_levels: List[jax.Array], mask_features: jax.Array,
+                 present: Optional[jax.Array] = None):
         """x_levels: list of [B, H_l, W_l, C_in] feature maps (length
         num_feature_levels); mask_features: [B, H, W, mask_dim].
 
@@ -200,6 +256,20 @@ class MeanShiftDecoder(nn.Module):
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (self.num_feature_levels, E))
 
+        # The fully fused inference path needs the RAW feature map + projection
+        # weights (it folds input_proj/level_embed into the in-kernel k/v
+        # projections); it applies when the mask features share the level's
+        # resolution (the 1-level UCN/crop configs - the reference's attn-mask
+        # interpolation :1028 is then the identity).
+        fused = (self.use_pallas and self.use_meanshift_cross_attention
+                 and self.num_feature_levels == 1 and not self.disable_attention_mask
+                 and mask_features.shape[1:3] == x_levels[0].shape[1:3])
+
+        has_proj = self.in_channels != E or self.enforce_input_project
+        projs = [Conv1x1(in_features=self.in_channels, features=E, dtype=dt,
+                         name=f"input_proj_{l}")
+                 for l in range(self.num_feature_levels)] if has_proj else None
+
         # flatten levels: src (projected + level embed) and positional encodings
         srcs, poss, poss_flat, sizes = [], [], [], []
         for l, x in enumerate(x_levels):
@@ -207,11 +277,27 @@ class MeanShiftDecoder(nn.Module):
             sizes.append((h, w))
             pos = position_embedding_sine(h, w, E // 2, dtype=dt)
             poss_flat.append(pos.reshape(h * w, E))
+            if fused:
+                continue   # the kernel streams the raw map; nothing to flatten
             poss.append(jnp.broadcast_to(pos.reshape(1, h * w, E), (B, h * w, E)))
-            if self.in_channels != E or self.enforce_input_project:
-                x = nn.Conv(E, (1, 1), dtype=dt, precision=prec,
-                            name=f"input_proj_{l}")(x)
+            if has_proj:
+                x = projs[l](x)
             srcs.append(x.reshape(B, h * w, E) + level_embed[l].astype(dt))
+
+        if fused:
+            h, w = sizes[0]
+            # K-minor layouts, materialized ONCE per forward (shared by all
+            # layers; the kernel streams K tiles with C on sublanes)
+            feat_T = x_levels[0].reshape(B, h * w, -1).astype(dt).transpose(0, 2, 1)
+            mfc = mask_features.shape[-1]
+            mf_T = mask_features.reshape(B, h * w, mfc).astype(dt).transpose(0, 2, 1)
+            pos_T = poss_flat[0].T
+            if has_proj:
+                win, b_in = projs[0].raw()
+                cin = b_in + level_embed[0]
+            else:
+                win = None
+                cin = level_embed[0]
 
         mask_features = mask_features.astype(dt)
 
@@ -225,6 +311,10 @@ class MeanShiftDecoder(nn.Module):
             d = decoder_norm(output)
             outputs_class = class_embed(d)
             me = mask_embed(d)
+            if fused:
+                # the kernel computes mask logits per tile from (me, mask
+                # features); nothing full-resolution is materialized per layer
+                return outputs_class, None, me
             outputs_mask = jnp.einsum("bqc,bhwc->bqhw", me, mask_features,
                                       precision=prec)
             if self.disable_attention_mask:
@@ -255,14 +345,10 @@ class MeanShiftDecoder(nn.Module):
         qpos = jnp.broadcast_to(query_embed[None].astype(dt), (B, Q, E))
 
         predictions_class, predictions_mask = [], []
-        outputs_class, outputs_mask, mask_logits = prediction_heads(output, sizes[0])
+        outputs_class, outputs_mask, head_aux = prediction_heads(output, sizes[0])
         predictions_class.append(outputs_class)
         predictions_mask.append(outputs_mask)
 
-        # The fully fused (in-kernel projection) kernel measured SLOWER than the
-        # kv-transposed path on v5e (per-head unrolled dots beat the saved
-        # bandwidth only at much larger E); keep it available but off.
-        use_fused = False
         for i in range(self.dec_layers):
             l = i % self.num_feature_levels
             # cross-attention first (Mask2Former ordering)
@@ -271,15 +357,15 @@ class MeanShiftDecoder(nn.Module):
                 meanshift=self.use_meanshift_cross_attention,
                 kappa=self.kappa, use_pallas=self.use_pallas, dtype=dt,
                 name=f"cross_attn_{i}")
-            if use_fused:
-                # the fused kernel adds pos to keys per tile; never materialize
-                # the [B, HW, E] key sum in HBM
-                tgt2 = attn(output + qpos, None, None, mask_logits=mask_logits,
-                            key_base=srcs[l], key_pos=poss_flat[l])
+            if fused:
+                # head_aux is the previous prediction head's mask embed
+                tgt2 = attn(output + qpos, None, None,
+                            fused_inputs=(feat_T, mf_T, head_aux,
+                                          pos_T, win, cin), present=present)
             else:
                 tgt2 = attn(output + qpos, srcs[l] + poss[l], srcs[l],
                             mask_logits=None if self.disable_attention_mask
-                            else mask_logits)
+                            else head_aux)
             output = ln(f"cross_norm_{i}")(output + tgt2)
 
             qk = output + qpos
@@ -299,11 +385,26 @@ class MeanShiftDecoder(nn.Module):
             if self.decoder_block_norm:
                 output = l2_normalize(output, axis=-1)
 
-            outputs_class, outputs_mask, mask_logits = prediction_heads(
+            outputs_class, outputs_mask, head_aux = prediction_heads(
                 output, sizes[(i + 1) % self.num_feature_levels])
             predictions_class.append(outputs_class)
             predictions_mask.append(outputs_mask)
 
+        if fused:
+            # Final-layer masks only; the per-layer (aux) full-resolution mask
+            # einsums are inference dead weight. mask_embed lets callers build
+            # masks for just the top-k selected queries (instance_inference);
+            # with materialize_masks=False even the final full-Q einsum is
+            # skipped (the pipeline computes masks for the top-k selection).
+            out = {
+                "pred_logits": predictions_class[-1],
+                "mask_embed": head_aux,
+                "aux_outputs": [{"pred_logits": c} for c in predictions_class[:-1]],
+            }
+            if self.materialize_masks:
+                out["pred_masks"] = jnp.einsum("bqc,bhwc->bqhw", head_aux,
+                                               mask_features, precision=prec)
+            return out
         return {
             "pred_logits": predictions_class[-1],
             "pred_masks": predictions_mask[-1],

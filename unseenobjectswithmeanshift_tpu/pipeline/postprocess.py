@@ -32,10 +32,16 @@ class Instances(NamedTuple):
     valid: jax.Array      # [T] bool
 
 
-def instance_inference(pred_logits, pred_masks, num_classes: int, topk: int) -> Instances:
+def instance_inference(pred_logits, pred_masks, num_classes: int, topk: int,
+                       mask_embed=None, mask_features=None,
+                       out_hw=None) -> Instances:
     """Per-image instance extraction (ref: instance_inference, :461-497).
 
-    pred_logits: [Q, K+1]; pred_masks: [Q, H, W] logits at output resolution.
+    pred_logits: [Q, K+1]; pred_masks: [Q, H, W] logits at output resolution,
+    OR None with (mask_embed [Q, C], mask_features [H, W, C]) instead - the
+    top-k query selection depends only on class scores, so the mask einsum is
+    computed for just the selected queries (exactly the reference result; the
+    einsum is linear per query and selection/resize commute with it).
     Returns topk instances in descending class-score order (torch.topk order).
     """
     Q = pred_logits.shape[0]
@@ -46,7 +52,15 @@ def instance_inference(pred_logits, pred_masks, num_classes: int, topk: int) -> 
     query_idx = topk_idx // num_classes
     # keep the gathered masks in the model dtype (bf16 halves HBM traffic on the
     # big [T, H, W] maps); only the tiny reductions accumulate in fp32
-    mask_logits = pred_masks[query_idx]                       # [T, H, W]
+    if pred_masks is None:
+        me_sel = mask_embed[query_idx]                        # [T, C]
+        mask_logits = jnp.einsum("tc,hwc->thw", me_sel, mask_features)
+        if out_hw is not None and mask_logits.shape[-2:] != tuple(out_hw):
+            from ..ops.resize import resize_bilinear
+            mask_logits = resize_bilinear(mask_logits[..., None], out_hw,
+                                          align_corners=False)[..., 0]
+    else:
+        mask_logits = pred_masks[query_idx]                   # [T, H, W]
     masks = mask_logits > 0
     # average mask probability over the binarized mask (:494)
     probs = jax.nn.sigmoid(mask_logits)

@@ -29,11 +29,15 @@ from .refine import crop_rois, match_label_crop
 
 def stage1_labels(cfg: Config, outputs, xyz, image_hw, osd: bool = False):
     """instance extraction -> confident filter -> label image -> depth filter,
-    for ONE image. outputs: dict with pred_logits [Q,K+1] / pred_masks [Q,H,W]."""
+    for ONE image. outputs: dict with pred_logits [Q,K+1] and either
+    pred_masks [Q,H,W] or (mask_embed, mask_features) from the light path."""
     t = cfg.test
-    inst = instance_inference(outputs["pred_logits"], outputs["pred_masks"],
+    inst = instance_inference(outputs["pred_logits"], outputs.get("pred_masks"),
                               num_classes=cfg.decoder.num_classes,
-                              topk=t.max_instances)
+                              topk=t.max_instances,
+                              mask_embed=outputs.get("mask_embed"),
+                              mask_features=outputs.get("mask_features"),
+                              out_hw=image_hw)
     inst = get_confident_instances(inst, topk=t.topk, score=t.confident_score,
                                    num_classes=cfg.decoder.num_classes,
                                    low_threshold=t.low_threshold)
@@ -87,18 +91,22 @@ class TwoStagePredictor:
         T, S = t.max_instances, t.crop_size
 
         has_depth = xyz is not None
-        outputs = self.model.apply(variables, image, xyz)
+        outputs = self.model.apply(variables, image, xyz, light=True)
 
+        light = "pred_masks" not in outputs
+        if light:
+            per_img = {"pred_logits": outputs["pred_logits"],
+                       "mask_embed": outputs["mask_embed"],
+                       "mask_features": outputs["mask_features"]}
+        else:
+            per_img = {"pred_logits": outputs["pred_logits"],
+                       "pred_masks": outputs["pred_masks"]}
         if has_depth:
             labels, _ = jax.vmap(
-                lambda l, m, d: stage1_labels(
-                    cfg, {"pred_logits": l, "pred_masks": m}, d, (H, W), osd=osd))(
-                outputs["pred_logits"], outputs["pred_masks"], xyz)
+                lambda o, d: stage1_labels(cfg, o, d, (H, W), osd=osd))(per_img, xyz)
         else:
             labels, _ = jax.vmap(
-                lambda l, m: stage1_labels(
-                    cfg, {"pred_logits": l, "pred_masks": m}, None, (H, W), osd=osd))(
-                outputs["pred_logits"], outputs["pred_masks"])
+                lambda o: stage1_labels(cfg, o, None, (H, W), osd=osd))(per_img)
 
         if not refine:
             return labels, labels
@@ -116,22 +124,33 @@ class TwoStagePredictor:
         # one batched forward over all B*T crops
         rgb = crops.rgb.reshape(B * T, S, S, 3)
         dep = crops.xyz.reshape(B * T, S, S, 3) if crops.xyz is not None else None
-        crop_out = self.model_crop.apply(variables_crop, rgb, dep)
+        crop_out = self.model_crop.apply(variables_crop, rgb, dep, light=True,
+                                         present=crops.present.reshape(B * T))
 
         tc = self.cfg_crop.test
+        crop_light = "pred_masks" not in crop_out
+        if crop_light:
+            crop_per = {"pred_logits": crop_out["pred_logits"],
+                        "mask_embed": crop_out["mask_embed"],
+                        "mask_features": crop_out["mask_features"]}
+        else:
+            crop_per = {"pred_logits": crop_out["pred_logits"],
+                        "pred_masks": crop_out["pred_masks"]}
 
-        def per_crop_labels(logits, masks):
-            inst = instance_inference(logits, masks,
+        def per_crop_labels(o):
+            inst = instance_inference(o["pred_logits"], o.get("pred_masks"),
                                       num_classes=self.cfg_crop.decoder.num_classes,
-                                      topk=tc.max_instances)
+                                      topk=tc.max_instances,
+                                      mask_embed=o.get("mask_embed"),
+                                      mask_features=o.get("mask_features"),
+                                      out_hw=(S, S))
             inst = get_confident_instances(inst, topk=tc.topk,
                                            score=tc.confident_score,
                                            num_classes=self.cfg_crop.decoder.num_classes,
                                            low_threshold=tc.low_threshold)
             return combine_masks(inst)
 
-        labels_crop = jax.vmap(per_crop_labels)(
-            crop_out["pred_logits"], crop_out["pred_masks"])
+        labels_crop = jax.vmap(per_crop_labels)(crop_per)
         labels_crop = labels_crop.reshape(B, T, S, S)
 
         def per_image_refine(lab_i, crops_i, labels_crop_i):
