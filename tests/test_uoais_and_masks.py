@@ -86,3 +86,50 @@ def test_visualize_utils(rng):
     feats = rng.rand(16, 16, 8).astype(np.float32)
     pca = features_pca(feats)
     assert pca.shape == (16, 16, 3)
+
+
+def test_ocid_uoais_dataset(tmp_path, rng):
+    """OCID_UOAIS reader (ref: lib/datasets/load_OCID_UOAIS.py): COCO RGB
+    normalization, table/floor suppression + remap, normalized+inpainted
+    3-channel depth."""
+    import os
+    import cv2
+    from unseenobjectswithmeanshift_tpu.data.datasets import get_dataset
+    from unseenobjectswithmeanshift_tpu.data.uoais import normalize_depth, inpaint_depth
+    from unseenobjectswithmeanshift_tpu.config import (
+        COCO_PIXEL_MEAN_RGB, COCO_PIXEL_STD_RGB,
+    )
+
+    seq = tmp_path / "ARID20" / "table" / "seq01"
+    for sub in ("rgb", "label", "depth"):
+        (seq / sub).mkdir(parents=True)
+    H, W = 480, 640
+    im = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(seq / "rgb" / "0001.png"), im)
+    label = np.zeros((H, W), np.uint8)
+    label[:50] = 1            # table -> 0
+    label[50:80] = 2          # floor in a 'table' sequence -> 0
+    label[100:150, 100:150] = 4
+    label[200:260, 200:280] = 7
+    cv2.imwrite(str(seq / "label" / "0001.png"), label)
+    depth = (rng.rand(H, W) * 1000 + 400).astype(np.uint16)
+    depth[0:10, 0:10] = 0     # hole for inpainting
+    cv2.imwrite(str(seq / "depth" / "0001.png"), depth)
+
+    ds = get_dataset("ocid_object_uoais", str(tmp_path))
+    assert len(ds) == 1
+    s = ds[0]
+    # COCO RGB normalization of the BGR->RGB image
+    rgbf = cv2.cvtColor(im, cv2.COLOR_BGR2RGB).astype(np.float32)
+    expect = (rgbf - np.asarray(COCO_PIXEL_MEAN_RGB, np.float32)) / np.asarray(
+        COCO_PIXEL_STD_RGB, np.float32)
+    np.testing.assert_allclose(s["image"], expect, atol=1e-5)
+    # labels: 1 and 2 suppressed, remaining remapped contiguously
+    assert set(np.unique(s["label"]).tolist()) == {0, 1, 2}
+    assert (s["label"][:80] == 0).all()
+    assert (s["label"][100:150, 100:150] == 1).all()
+    # depth: normalize -> inpaint -> /255, 3 channels, holes filled
+    d3 = inpaint_depth(normalize_depth(depth.astype(np.float32))) / 255.0
+    np.testing.assert_allclose(s["xyz"], d3, atol=1e-6)
+    assert s["xyz"].shape == (H, W, 3)
+    assert s["xyz"][5, 5].max() > 0  # hole filled

@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-crop", default=None)
     p.add_argument("--no-depth", action="store_true")
+    p.add_argument("--ucn", action="store_true",
+                   help="run the legacy UCN (embedding + vMF mean shift) "
+                        "networks instead of MSMFormer "
+                        "(ref: ros/test_images_segmentation.py)")
     args = p.parse_args(argv)
 
     try:
@@ -56,16 +60,30 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from ..config import get_config
-    from ..pipeline.two_stage import TwoStagePredictor
     from ..pipeline.streaming import SegmentationService
-    from ..utils.checkpoint import load_torch_state_dict, convert_msmformer_checkpoint
+    from ..utils.checkpoint import (
+        load_torch_state_dict, convert_msmformer_checkpoint,
+        convert_ucn_checkpoint,
+    )
 
-    cfg = get_config("tabletop_pretrained")
-    cfg_crop = get_config("crop_tabletop_pretrained")
-    pred = TwoStagePredictor(cfg, cfg_crop, dtype=jnp.bfloat16)
+    if args.ucn:
+        # legacy UCN mode (ref: ros/test_images_segmentation.py): embedding
+        # network + vMF mean-shift clustering, same two-stage refinement
+        from ..pipeline.ucn import UCNPredictor
+
+        cfg = get_config("ucn_rgbd_add" if not args.no_depth else "ucn_color")
+        pred = UCNPredictor(cfg, dtype=jnp.bfloat16)
+        convert = convert_ucn_checkpoint
+    else:
+        from ..pipeline.two_stage import TwoStagePredictor
+
+        cfg = get_config("tabletop_pretrained")
+        cfg_crop = get_config("crop_tabletop_pretrained")
+        pred = TwoStagePredictor(cfg, cfg_crop, dtype=jnp.bfloat16)
+        convert = convert_msmformer_checkpoint
     if args.checkpoint:
-        v1 = convert_msmformer_checkpoint(load_torch_state_dict(args.checkpoint))
-        v2 = convert_msmformer_checkpoint(load_torch_state_dict(
+        v1 = convert(load_torch_state_dict(args.checkpoint))
+        v2 = convert(load_torch_state_dict(
             args.checkpoint_crop or args.checkpoint))
     else:
         v1, v2 = pred.init(jax.random.PRNGKey(0), (480, 640))

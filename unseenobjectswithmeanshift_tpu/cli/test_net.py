@@ -23,7 +23,8 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="ocid_object",
-                   choices=["ocid_object", "osd_object", "tabletop_object"])
+                   choices=["ocid_object", "osd_object", "tabletop_object",
+                            "ocid_object_uoais", "osd_object_uoais"])
     p.add_argument("--root", required=True)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-crop", default=None)

@@ -142,6 +142,7 @@ class SolverConfig:
     weight_decay_embed: float = 0.0
     backbone_multiplier: float = 0.1
     clip_gradients: float = 0.01      # full-model clip norm
+    warmup_iters: int = 10            # SOLVER.WARMUP_ITERS (Base-COCO...yaml:25)
     max_iter: int = 71000
     ims_per_batch: int = 4
     checkpoint_period: int = 17500
@@ -158,6 +159,8 @@ class Config:
     """Top-level configuration."""
 
     name: str = "tabletop_pretrained"
+    dataset_train: str = "tabletop_object"   # DATASETS.TRAIN registry name
+    train_syn_crop: bool = False      # TRAIN.SYN_CROP (crop-network training)
     input: str = "RGBD"               # COLOR | DEPTH | RGBD (cfg.INPUT)
     pixel_means_bgr: Tuple[float, float, float] = UCN_PIXEL_MEANS_BGR
     use_depth: bool = True            # MODEL.USE_DEPTH
@@ -224,13 +227,121 @@ def tabletop_pretrained_rgb() -> Config:
     return cfg
 
 
-def uoais_resnet50() -> Config:
-    """ResNet50 + MSDeformAttn pixel decoder + 3-level decoder
-    (ref: MSMFormer/configs/UOAIS_ResNet50.yaml)."""
-    cfg = Config(name="uoais_resnet50", use_other_backbone=True)
-    cfg.pixel_decoder = PixelDecoderConfig(name="msdeformattn", conv_dim=256, mask_dim=256)
+def _resnet50_base(name: str) -> Config:
+    """Shared shape of every *_ResNet50 config: detectron2 R50 backbone,
+    MSDeformAttnPixelDecoder with CONVS_DIM 64 / MASK_DIM 256, 3-level
+    MeanShiftTransformerDecoder with DEC_LAYERS 10 (= 9 decoder layers),
+    COLOR input (ref: configs/tabletop_pretrained_ResNet50.yaml,
+    UOAIS_ResNet50.yaml, mixture_ResNet50.yaml, pushing_ResNet50.yaml)."""
+    cfg = Config(name=name, use_other_backbone=True, use_depth=False,
+                 input="COLOR")
+    cfg.pixel_decoder = PixelDecoderConfig(name="msdeformattn", conv_dim=64,
+                                           mask_dim=256)
     cfg.decoder.num_feature_levels = 3
-    cfg.decoder.conv_dim = 256
+    cfg.decoder.conv_dim = 64
+    cfg.decoder.dec_layers = 9        # DEC_LAYERS: 10 = 1 + 9
+    return cfg
+
+
+def uoais_resnet50() -> Config:
+    """ref: MSMFormer/configs/UOAIS_ResNet50.yaml (DETECTIONS_PER_IMAGE 40)."""
+    cfg = _resnet50_base("uoais_resnet50")
+    cfg.dataset_train = "uoais_object"
+    cfg.test.detections_per_image = 40
+    cfg.test.max_instances = 40
+    cfg.solver.max_iter = 90000
+    return cfg
+
+
+def uoais_ucn() -> Config:
+    """ref: MSMFormer/configs/UOAIS_UCN.yaml: UCN-backbone arch with
+    DETECTIONS_PER_IMAGE 40 (:77) and 90k iterations."""
+    cfg = Config(name="uoais_ucn")
+    cfg.dataset_train = "uoais_object"
+    cfg.test.detections_per_image = 40
+    cfg.test.max_instances = 40
+    cfg.solver.max_iter = 90000
+    return cfg
+
+
+def tabletop_pretrained_resnet50() -> Config:
+    """ref: configs/tabletop_pretrained_ResNet50.yaml."""
+    return _resnet50_base("tabletop_pretrained_resnet50")
+
+
+def crop_tabletop_resnet50_rgb() -> Config:
+    """ref: configs/crop_tabletop_ResNet50_RGB.yaml (FEATURE_CROP stage-2)."""
+    cfg = _resnet50_base("crop_tabletop_resnet50_rgb")
+    cfg.solver.checkpoint_period = 8750
+    return cfg
+
+
+def mixture_ucn() -> Config:
+    """ref: configs/mixture_UCN.yaml: flagship arch fine-tuned on the 1:3
+    pushing:tabletop mixture for 2120 iterations (RSS'23 self-supervision)."""
+    cfg = Config(name="mixture_ucn")
+    cfg.dataset_train = "mixture_object"
+    cfg.solver.max_iter = 2120
+    cfg.solver.checkpoint_period = 1060
+    return cfg
+
+
+def crop_mixture_ucn() -> Config:
+    """ref: configs/crop_mixture_UCN.yaml."""
+    cfg = mixture_ucn()
+    cfg.name = "crop_mixture_ucn"
+    return cfg
+
+
+def mixture_resnet50() -> Config:
+    """ref: configs/mixture_ResNet50.yaml."""
+    cfg = _resnet50_base("mixture_resnet50")
+    cfg.dataset_train = "mixture_object"
+    return cfg
+
+
+def crop_mixture_resnet50() -> Config:
+    """ref: configs/crop_mixture_ResNet50.yaml."""
+    cfg = _resnet50_base("crop_mixture_resnet50")
+    cfg.name = "crop_mixture_resnet50"
+    cfg.dataset_train = "mixture_object"
+    return cfg
+
+
+def pushing_ucn() -> Config:
+    """ref: configs/pushing_UCN.yaml (USE_DEPTH true, 2120 iters)."""
+    cfg = Config(name="pushing_ucn")
+    cfg.dataset_train = "pushing_object"
+    cfg.solver.max_iter = 2120
+    cfg.solver.checkpoint_period = 1060
+    return cfg
+
+
+def pushing_resnet50() -> Config:
+    """ref: configs/pushing_ResNet50.yaml (USE_DEPTH true, R50 arch)."""
+    cfg = _resnet50_base("pushing_resnet50")
+    cfg.dataset_train = "pushing_object"
+    cfg.use_depth = True
+    cfg.input = "RGBD"
+    return cfg
+
+
+def _ucn_experiment(input_type: str, fusion_type: str, crop: bool) -> Config:
+    """UCN training configs (ref: experiments/cfgs/seg_resnet34_8s_embedding_
+    cosine_{color,depth,rgbd_add,rgbd_cat,rgbd_early}[_crop]_tabletop.yml):
+    SGD lr 1e-5 batch 16, chromatic+noise aug, EMBEDDING lambdas 10.0,
+    1000-px sampling; the _crop variants train the zoom-in network on
+    SYN_CROP 224x224 object crops."""
+    name = f"ucn_{input_type.lower()}{'_' + fusion_type if input_type == 'RGBD' else ''}"
+    if crop:
+        name += "_crop"
+    cfg = Config(name=name, input=input_type, use_depth=input_type != "COLOR")
+    cfg.backbone.input_type = input_type
+    cfg.backbone.fusion_type = fusion_type
+    cfg.loss.use_embedding_loss = True
+    cfg.loss.embedding_lambda_intra = 10.0
+    cfg.loss.embedding_lambda_inter = 10.0
+    cfg.train_syn_crop = crop
     return cfg
 
 
@@ -238,8 +349,26 @@ PRESETS = {
     "tabletop_pretrained": tabletop_pretrained,
     "crop_tabletop_pretrained": crop_tabletop_pretrained,
     "tabletop_pretrained_rgb": tabletop_pretrained_rgb,
+    "tabletop_pretrained_resnet50": tabletop_pretrained_resnet50,
+    "crop_tabletop_resnet50_rgb": crop_tabletop_resnet50_rgb,
     "uoais_resnet50": uoais_resnet50,
+    "uoais_ucn": uoais_ucn,
+    "mixture_ucn": mixture_ucn,
+    "crop_mixture_ucn": crop_mixture_ucn,
+    "mixture_resnet50": mixture_resnet50,
+    "crop_mixture_resnet50": crop_mixture_resnet50,
+    "pushing_ucn": pushing_ucn,
+    "pushing_resnet50": pushing_resnet50,
 }
+
+# UCN experiment matrix (ref: experiments/cfgs/*.yml - 5 input modes x
+# {whole, crop})
+for _inp, _fus in (("COLOR", "add"), ("DEPTH", "add"), ("RGBD", "add"),
+                   ("RGBD", "cat"), ("RGBD", "early")):
+    for _crop in (False, True):
+        _c = _ucn_experiment(_inp, _fus, _crop)
+        PRESETS[_c.name] = (lambda i=_inp, f=_fus, cr=_crop:
+                            _ucn_experiment(i, f, cr))
 
 
 def get_config(name: str = "tabletop_pretrained") -> Config:

@@ -323,7 +323,17 @@ DATASETS = {
 }
 
 
+def _register_uoais():
+    # deferred: uoais imports from this module
+    from .uoais import UOAISSimDataset, OSDObjectUOAIS, OCIDObjectUOAIS
+
+    DATASETS.setdefault("osd_object_uoais", OSDObjectUOAIS)
+    DATASETS.setdefault("ocid_object_uoais", OCIDObjectUOAIS)
+
+
 def get_dataset(name: str, root: str, **kwargs):
     """Name registry (ref: lib/datasets/factory.py): e.g.
     get_dataset('tabletop_object', root, image_set='train')."""
+    if name not in DATASETS:
+        _register_uoais()
     return DATASETS[name](root, **kwargs)

@@ -190,3 +190,48 @@ class OSDObjectUOAIS:
             d3 = inpaint_depth(normalize_depth(depth.astype(np.float32)))
             sample["xyz"] = d3.astype(np.float32) / 255.0
         return sample
+
+
+class OCIDObjectUOAIS:
+    """OCID with the UOAIS depth pipeline (ref: lib/datasets/load_OCID_UOAIS.py
+    :119-130): normalized (mm -> 0..255, 250..1500 range) + Telea-inpainted
+    3-channel depth instead of point-cloud XYZ, and COCO RGB normalization for
+    the color image (:94-95). Needed to reproduce the UOAIS-config OCID table."""
+
+    def __init__(self, root, input_type="RGBD"):
+        self.root = root
+        self.input_type = input_type
+        # the reference lists **/seq* dirs, then each seq's rgb/*.png (:45-53)
+        seqs = sorted(glob.glob(os.path.join(root, "**", "*seq*"), recursive=True))
+        self.image_paths = []
+        for seq in seqs:
+            self.image_paths += sorted(glob.glob(os.path.join(seq, "rgb", "*.png")))
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def __getitem__(self, idx):
+        from ..config import COCO_PIXEL_MEAN_RGB, COCO_PIXEL_STD_RGB
+
+        filename = self.image_paths[idx]
+        im = cv2.cvtColor(cv2.imread(filename), cv2.COLOR_BGR2RGB).astype(np.float32)
+        image = (im - np.asarray(COCO_PIXEL_MEAN_RGB, np.float32)) / np.asarray(
+            COCO_PIXEL_STD_RGB, np.float32)
+
+        labels_filename = filename.replace("rgb", "label")
+        label = imread_indexed(labels_filename)
+        label[label == 1] = 0                       # table -> background (:101)
+        if "table" in labels_filename:
+            label[label == 2] = 0                   # floor in 'table' seqs (:102-103)
+        label = remap_labels(label)
+
+        sample = {"image": image, "label": label, "file_name": filename,
+                  "xyz": None}
+        if self.input_type in ("DEPTH", "RGBD"):
+            depth = cv2.imread(filename.replace("rgb", "depth"),
+                               cv2.IMREAD_ANYDEPTH).astype(np.float32)
+            d3 = normalize_depth(depth)
+            d3 = cv2.resize(d3, (640, 480), interpolation=cv2.INTER_NEAREST)
+            d3 = inpaint_depth(d3) / 255.0          # (:125-128)
+            sample["xyz"] = d3.astype(np.float32)
+        return sample

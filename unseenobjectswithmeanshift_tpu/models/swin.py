@@ -132,7 +132,7 @@ class SwinBlock(nn.Module):
         h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, precision=prec,
                      kernel_init=trunc, name="mlp_fc1")(h)
         h = nn.Dense(C, dtype=self.dtype, precision=prec, kernel_init=trunc,
-                     name="mlp_fc2")(nn.gelu(h))
+                     name="mlp_fc2")(nn.gelu(h, approximate=False))
         return x + h
 
 

@@ -63,12 +63,19 @@ def make_optimizer(cfg: Config):
         return jax.tree_util.tree_map_with_path(
             lambda p, v: fn(tuple(getattr(k, "key", k) for k in p), v), params)
 
+    # linear LR warmup over WARMUP_ITERS (ref: Base-COCO-InstanceSegmentation
+    # .yaml:24-25, WARMUP_FACTOR 1.0 / WARMUP_ITERS 10, detectron2
+    # WarmupMultiStepLR; STEPS > MAX_ITER in all shipped configs so the decay
+    # milestones never fire - the schedule is warmup then constant)
+    schedule = optax.linear_schedule(
+        init_value=s.base_lr / max(s.warmup_iters, 1), end_value=s.base_lr,
+        transition_steps=s.warmup_iters)
     tx = optax.chain(
         optax.clip_by_global_norm(s.clip_gradients),
         optax.scale_by_adam(),
         optax.masked(optax.add_decayed_weights(s.weight_decay),
                      lambda params: label_tree(params, wd_mask)),
-        optax.scale(-s.base_lr),
+        optax.scale_by_schedule(lambda step: -schedule(step)),
         # backbone lr multiplier as a final per-leaf scale
         _scale_by_path(lambda path: s.backbone_multiplier if _is_backbone(path) else 1.0),
     )

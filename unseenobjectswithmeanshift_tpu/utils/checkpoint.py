@@ -125,6 +125,206 @@ def _split3(w):
     return w[:e], w[e:2 * e], w[2 * e:]
 
 
+def _convert_d2_resnet(state_dict, params: dict, batch_stats: dict,
+                       prefix: str = "backbone."):
+    """detectron2 ResNet keys -> models/backbone_resnet.ResNetBackbone tree.
+
+    d2 layout (detectron2 modeling/backbone/resnet.py; Conv2d carries an
+    attached .norm):
+      backbone.stem.conv1.weight / .norm.{weight,bias,running_mean,running_var}
+      backbone.res{2..5}.{b}.conv{1,2,3}.weight / .norm.*
+      backbone.res{2..5}.{b}.shortcut.weight / .norm.*
+    """
+    for key, value in state_dict.items():
+        if not key.startswith(prefix):
+            continue
+        rest = key[len(prefix):]
+        parts = rest.split(".")
+        value = _np(value)
+        if parts[0] == "stem":
+            # stem.conv1.weight | stem.conv1.norm.X
+            if parts[2] == "weight" and len(parts) == 3:
+                _set(params, ("backbone", "stem_conv1", "kernel"),
+                     _conv_kernel(value))
+            elif parts[2] == "norm":
+                leaf = parts[3]
+                if leaf == "weight":
+                    _set(params, ("backbone", "stem_bn1", "scale"), value)
+                elif leaf == "bias":
+                    _set(params, ("backbone", "stem_bn1", "bias"), value)
+                elif leaf == "running_mean":
+                    _set(batch_stats, ("backbone", "stem_bn1", "mean"), value)
+                elif leaf == "running_var":
+                    _set(batch_stats, ("backbone", "stem_bn1", "var"), value)
+        elif parts[0].startswith("res"):
+            stage, block, mod = parts[0], parts[1], parts[2]
+            name = f"{stage}_{block}"
+            if mod == "shortcut":
+                conv_name, bn_name = "downsample_conv", "downsample_bn"
+            else:
+                conv_name, bn_name = mod, mod.replace("conv", "bn")
+            if parts[3] == "weight" and len(parts) == 4:
+                _set(params, ("backbone", name, conv_name, "kernel"),
+                     _conv_kernel(value))
+            elif parts[3] == "norm":
+                leaf = parts[4]
+                if leaf == "weight":
+                    _set(params, ("backbone", name, bn_name, "scale"), value)
+                elif leaf == "bias":
+                    _set(params, ("backbone", name, bn_name, "bias"), value)
+                elif leaf == "running_mean":
+                    _set(batch_stats, ("backbone", name, bn_name, "mean"), value)
+                elif leaf == "running_var":
+                    _set(batch_stats, ("backbone", name, bn_name, "var"), value)
+
+
+def _convert_msdeformattn_pixel_decoder(state_dict, params: dict,
+                                        prefix: str = "sem_seg_head.pixel_decoder."):
+    """MSDeformAttnPixelDecoder keys (ref: modeling/pixel_decoder/msdeformattn.py
+    :164-358) -> models/pixel_decoders.MSDeformAttnPixelDecoder tree."""
+    P = ("pixel_decoder",)
+    for key, value in state_dict.items():
+        if not key.startswith(prefix):
+            continue
+        rest = key[len(prefix):]
+        parts = rest.split(".")
+        value = _np(value)
+        if parts[0] == "input_proj":
+            i = parts[1]
+            if parts[2] == "0":    # 1x1 conv
+                leaf = "kernel" if parts[3] == "weight" else "bias"
+                v_ = _conv_kernel(value) if value.ndim == 4 else value
+                _set(params, P + (f"input_proj_{i}", leaf), v_)
+            else:                  # GroupNorm
+                leaf = "scale" if parts[3] == "weight" else "bias"
+                _set(params, P + (f"input_norm_{i}", leaf), value)
+        elif parts[0] == "transformer":
+            if parts[1] == "level_embed":
+                _set(params, P + ("level_embed",), value)
+            elif parts[1] == "encoder":
+                i = parts[3]
+                sub = parts[4]     # self_attn | norm1 | norm2 | linear1 | linear2
+                layer = f"encoder_layer_{i}"
+                if sub == "self_attn":
+                    mod, leaf = parts[5], parts[6]
+                    v_ = value.T if leaf == "weight" else value
+                    leaf = "kernel" if leaf == "weight" else "bias"
+                    _set(params, P + (layer, "self_attn", mod, leaf), v_)
+                elif sub in ("norm1", "norm2"):
+                    leaf = "scale" if parts[5] == "weight" else "bias"
+                    _set(params, P + (layer, sub, leaf), value)
+                elif sub in ("linear1", "linear2"):
+                    leaf = "kernel" if parts[5] == "weight" else "bias"
+                    v_ = value.T if leaf == "kernel" else value
+                    _set(params, P + (layer, sub, leaf), v_)
+        elif parts[0] == "mask_features":
+            leaf = "kernel" if parts[1] == "weight" else "bias"
+            v_ = _conv_kernel(value) if value.ndim == 4 else value
+            _set(params, P + ("mask_features", leaf), v_)
+        elif parts[0].startswith("adapter_") or parts[0].startswith("layer_"):
+            # reference names extra-FPN convs from 1 (:284); ours from 0
+            kind, num = parts[0].rsplit("_", 1)
+            name = f"{kind}_{int(num) - 1}"
+            if parts[1] == "weight" and len(parts) == 2:
+                _set(params, P + (name, "kernel"), _conv_kernel(value))
+            elif parts[1] == "norm":
+                leaf = "scale" if parts[2] == "weight" else "bias"
+                _set(params, P + (f"{kind}_norm_{int(num) - 1}", leaf), value)
+
+
+def convert_r50_msmformer_checkpoint(state_dict: Dict[str, np.ndarray]):
+    """Convert a standard-backbone MeanShiftMaskFormer checkpoint (detectron2
+    R50 + MSDeformAttnPixelDecoder + 3-level decoder, ref:
+    configs/UOAIS_ResNet50.yaml key layout) to the flax tree of
+    models.meta_arch.MeanShiftMaskFormerR50."""
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k[6:] if k.startswith("model.") else k] = v
+
+    params: dict = {}
+    batch_stats: dict = {}
+    _convert_d2_resnet(sd, params, batch_stats)
+    _convert_msdeformattn_pixel_decoder(sd, params)
+    # the decoder keys are identical to the pretrained variant's
+    pred = convert_msmformer_checkpoint(
+        {k: v for k, v in sd.items() if k.startswith("sem_seg_head.predictor.")})
+    params.update(pred["params"])
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def convert_swin_checkpoint(state_dict: Dict[str, np.ndarray],
+                            prefix: str = "backbone."):
+    """Convert D2SwinTransformer keys (ref: modeling/backbone/swin.py; also
+    matches the upstream microsoft/Swin-Transformer layout under 'backbone.')
+    to the flax tree of models/swin.SwinTransformer.
+
+      patch_embed.proj.{weight,bias}            -> patch_embed/{kernel,bias}
+      patch_embed.norm.*                        -> patch_norm
+      layers.{s}.blocks.{b}.norm1/norm2.*       -> stage{s}_block{b}/norm1|norm2
+      layers.{s}.blocks.{b}.attn.qkv/proj.*     -> .../attn/qkv|proj
+      layers.{s}.blocks.{b}.attn.relative_position_bias_table -> same name
+      layers.{s}.blocks.{b}.mlp.fc1/fc2.*       -> .../mlp_fc1|mlp_fc2
+      layers.{s}.downsample.reduction/norm.*    -> merge{s}/reduction|norm
+      norm{s}.*                                 -> out_norm{s}
+    (relative_position_index is a recomputed buffer and is skipped.)
+    """
+    params: dict = {}
+    for key, value in state_dict.items():
+        if key.startswith("model."):
+            key = key[6:]
+        if not key.startswith(prefix):
+            continue
+        rest = key[len(prefix):]
+        parts = rest.split(".")
+        value = _np(value)
+        if parts[0] == "patch_embed":
+            if parts[1] == "proj":
+                leaf = "kernel" if parts[2] == "weight" else "bias"
+                v_ = _conv_kernel(value) if value.ndim == 4 else value
+                _set(params, ("patch_embed", leaf), v_)
+            elif parts[1] == "norm":
+                leaf = "scale" if parts[2] == "weight" else "bias"
+                _set(params, ("patch_norm", leaf), value)
+        elif parts[0] == "layers":
+            s = parts[1]
+            if parts[2] == "blocks":
+                b, mod = parts[3], parts[4]
+                base = (f"stage{s}_block{b}",)
+                if mod in ("norm1", "norm2"):
+                    leaf = "scale" if parts[5] == "weight" else "bias"
+                    _set(params, base + (mod, leaf), value)
+                elif mod == "attn":
+                    sub = parts[5]
+                    if sub == "relative_position_bias_table":
+                        _set(params, base + ("attn", sub), value)
+                    elif sub == "relative_position_index":
+                        continue
+                    else:          # qkv | proj
+                        leaf = "kernel" if parts[6] == "weight" else "bias"
+                        v_ = value.T if leaf == "kernel" else value
+                        _set(params, base + ("attn", sub, leaf), v_)
+                elif mod == "mlp":
+                    sub = "mlp_fc1" if parts[5] == "fc1" else "mlp_fc2"
+                    leaf = "kernel" if parts[6] == "weight" else "bias"
+                    v_ = value.T if leaf == "kernel" else value
+                    _set(params, base + (sub, leaf), v_)
+            elif parts[2] == "downsample":
+                mod = parts[3]     # reduction | norm
+                leaf_src = parts[4]
+                if mod == "reduction":
+                    leaf = "kernel" if leaf_src == "weight" else "bias"
+                    v_ = value.T if leaf == "kernel" else value
+                    _set(params, (f"merge{s}", "reduction", leaf), v_)
+                else:
+                    leaf = "scale" if leaf_src == "weight" else "bias"
+                    _set(params, (f"merge{s}", "norm", leaf), value)
+        elif parts[0].startswith("norm") and len(parts[0]) > 4:
+            s = parts[0][4:]
+            leaf = "scale" if parts[1] == "weight" else "bias"
+            _set(params, (f"out_norm{s}", leaf), value)
+    return {"params": params}
+
+
 def convert_msmformer_checkpoint(state_dict: Dict[str, np.ndarray]):
     """Convert a detectron2 PretrainedMeanShiftMaskFormer checkpoint to the flax
     tree of models.meta_arch.MSMFormer.
