@@ -1,84 +1,130 @@
-"""Perf breakdown on the real TPU: backbone / stage-1 model / stage-1+post /
-full two-stage. Run: python scripts/profile_breakdown.py"""
+"""Fine-grained timing breakdown of the two-stage pipeline on the real TPU.
+
+Times each sub-component as its own jit (backbone towers, decoder, stage-1
+postprocess, crop extraction, crop network, paste-back) so perf work is
+attributable. Uses on-device checksums (tunnel-safe, see bench.py).
+"""
+
 import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
+import jax
+import jax.numpy as jnp
 
-def timeit(fn, *args, iters=10):
-    import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from unseenobjectswithmeanshift_tpu.config import get_config
+from unseenobjectswithmeanshift_tpu.pipeline.two_stage import (
+    TwoStagePredictor, stage1_labels,
+)
+from unseenobjectswithmeanshift_tpu.models.segnet import SEGNET, l2_normalize
+from unseenobjectswithmeanshift_tpu.pipeline.refine import crop_rois, match_label_crop
+
+
+def timeit(fn, args, iters=10):
     out = fn(*args)
-    jax.tree.map(lambda x: np.asarray(jax.tree.leaves(x)[0].ravel()[0]) if hasattr(x, 'ravel') else x, out)
-    # cheap sync: pull one scalar
-    leaves = [l for l in __import__('jax').tree.leaves(out)]
-    np.asarray(leaves[0].ravel()[0:1])
+    jax.tree.map(lambda x: np.asarray(jnp.sum(x)) if hasattr(x, "shape") else x,
+                 out if isinstance(out, tuple) else (out,))
+    chk = jax.jit(lambda *a: sum(jnp.sum(x) for x in jax.tree.leaves(fn(*a))))
+    np.asarray(chk(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        leaves = [l for l in __import__('jax').tree.leaves(out)]
-        np.asarray(leaves[0].ravel()[0:1])
+        np.asarray(chk(*args))
     return (time.perf_counter() - t0) / iters
 
 
 def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-    from unseenobjectswithmeanshift_tpu.config import get_config
-    from unseenobjectswithmeanshift_tpu.pipeline.two_stage import TwoStagePredictor
-    from unseenobjectswithmeanshift_tpu.models.segnet import SEGNET
-    from unseenobjectswithmeanshift_tpu.models.meta_arch import MSMFormer
-
     cfg = get_config("tabletop_pretrained")
     cfg_crop = get_config("crop_tabletop_pretrained")
     dtype = jnp.bfloat16
     B, H, W = 4, 480, 640
+    T, S = cfg.test.max_instances, cfg.test.crop_size
+
+    pred = TwoStagePredictor(cfg, cfg_crop, dtype=dtype)
+    v1, v2 = pred.init(jax.random.PRNGKey(0), (H, W), crop_size=S)
 
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     xyz = jnp.asarray((rng.rand(B, H, W, 3) * 2).astype(np.float32))
 
-    # backbone only
+    # ---- stage-1 backbone only ----
     b = cfg.backbone
-    seg = SEGNET(network=b.network, input_type=b.input_type, fusion_type=b.fusion_type,
-                 num_units=b.num_units, normalize=b.normalize, dtype=dtype)
-    vseg = seg.init(jax.random.PRNGKey(0), img, xyz)
-    f_back = jax.jit(lambda v, i, x: seg.apply(v, i, x))
-    dt = timeit(f_back, vseg, img, xyz)
-    print(f"backbone (2 towers, B={B}):      {dt*1000:8.2f} ms  = {dt/B*1000:6.2f} ms/img")
+    backbone = SEGNET(network=b.network, input_type=b.input_type,
+                      fusion_type=b.fusion_type, num_units=b.num_units,
+                      normalize=b.normalize, dtype=dtype)
+    bb_params = {"params": v1["params"]["pretrained_backbone"]}
+    if "batch_stats" in v1:
+        bb_params["batch_stats"] = v1["batch_stats"]["pretrained_backbone"]
+    bb_fn = jax.jit(lambda p, i, x: backbone.apply(p, i, x))
+    t_bb = timeit(bb_fn, (bb_params, img, xyz))
+    print(f"stage1 backbone (2 towers):   {t_bb*1000:8.2f} ms/batch "
+          f"({t_bb/B*1000:6.2f} ms/img)")
 
-    # stage-1 full model
-    model = MSMFormer(cfg=cfg, dtype=dtype)
-    v1 = model.init(jax.random.PRNGKey(0), img, xyz)
-    f_s1 = jax.jit(lambda v, i, x: model.apply(v, i, x)["pred_masks"])
-    dt = timeit(f_s1, v1, img, xyz)
-    print(f"stage-1 model (bb+decoder):      {dt*1000:8.2f} ms  = {dt/B*1000:6.2f} ms/img")
+    # ---- stage-1 full model (backbone + decoder, light) ----
+    m1_fn = jax.jit(lambda v, i, x: pred.model.apply(v, i, x, light=True))
+    t_m1 = timeit(m1_fn, (v1, img, xyz))
+    print(f"stage1 model (bb+decoder):    {t_m1*1000:8.2f} ms/batch "
+          f"({t_m1/B*1000:6.2f} ms/img)  decoder ~= {(t_m1-t_bb)*1000:.2f} ms")
 
-    # full pipeline stage1-only labels (model + postprocess)
-    pred = TwoStagePredictor(cfg, cfg_crop, dtype=dtype)
-    v1p, v2p = pred.init(jax.random.PRNGKey(0), (H, W), crop_size=cfg.test.crop_size)
-    f_lab = jax.jit(lambda a, b2, i, x: pred._forward(a, b2, i, x, osd=False, refine=False)[0])
-    dt = timeit(f_lab, v1p, v2p, img, xyz)
-    print(f"stage-1 + postprocess:           {dt*1000:8.2f} ms  = {dt/B*1000:6.2f} ms/img")
+    # ---- stage-1 postprocess ----
+    outputs = m1_fn(v1, img, xyz)
+    per_img = {"pred_logits": outputs["pred_logits"],
+               "mask_embed": outputs["mask_embed"],
+               "mask_features": outputs["mask_features"]}
 
-    # full two-stage
-    f_full = jax.jit(lambda a, b2, i, x: pred._forward(a, b2, i, x, osd=False, refine=True)[1])
-    dt = timeit(f_full, v1p, v2p, img, xyz)
-    print(f"full two-stage:                  {dt*1000:8.2f} ms  = {dt/B*1000:6.2f} ms/img")
+    def post1(per_img, xyz):
+        labels, _ = jax.vmap(
+            lambda o, d: stage1_labels(cfg, o, d, (H, W), osd=False))(per_img, xyz)
+        return labels
+    post1_fn = jax.jit(post1)
+    t_p1 = timeit(post1_fn, (per_img, xyz))
+    print(f"stage1 postprocess:           {t_p1*1000:8.2f} ms/batch")
 
-    # crop model alone at the B*T crop batch
-    T, S = cfg.test.max_instances, cfg.test.crop_size
-    model_crop = MSMFormer(cfg=cfg_crop, dtype=dtype)
-    imgc = jnp.asarray(rng.rand(B * T, S, S, 3).astype(np.float32))
-    xyzc = jnp.asarray(rng.rand(B * T, S, S, 3).astype(np.float32))
-    f_crop = jax.jit(lambda v, i, x: model_crop.apply(v, i, x)["pred_masks"])
-    dt = timeit(f_crop, v2p, imgc, xyzc)
-    print(f"crop model ({B*T}x{S}x{S}):        {dt*1000:8.2f} ms  = {dt/B*1000:6.2f} ms/img")
+    labels = post1_fn(per_img, xyz)
+
+    # ---- crop extraction ----
+    crops_fn = jax.jit(lambda i, l, x: jax.vmap(
+        lambda a, b_, c: crop_rois(a, b_, c, max_instances=T, crop_size=S,
+                                   padding=cfg.test.crop_padding))(i, l, x))
+    t_cr = timeit(crops_fn, (img, labels, xyz))
+    print(f"crop extraction:              {t_cr*1000:8.2f} ms/batch")
+    crops = crops_fn(img, labels, xyz)
+
+    # ---- crop backbone only ----
+    rgb = crops.rgb.reshape(B * T, S, S, 3)
+    dep = crops.xyz.reshape(B * T, S, S, 3)
+    bc = cfg_crop.backbone
+    backbone_c = SEGNET(network=bc.network, input_type=bc.input_type,
+                        fusion_type=bc.fusion_type, num_units=bc.num_units,
+                        normalize=bc.normalize, dtype=dtype)
+    bb2_params = {"params": v2["params"]["pretrained_backbone"]}
+    if "batch_stats" in v2:
+        bb2_params["batch_stats"] = v2["batch_stats"]["pretrained_backbone"]
+    bb2_fn = jax.jit(lambda p, i, x: backbone_c.apply(p, i, x))
+    t_bb2 = timeit(bb2_fn, (bb2_params, rgb, dep))
+    print(f"crop backbone (80 crops):     {t_bb2*1000:8.2f} ms/batch")
+
+    # ---- crop full model ----
+    present = crops.present.reshape(B * T)
+    m2_fn = jax.jit(lambda v, i, x, p: pred.model_crop.apply(
+        v, i, x, light=True, present=p))
+    t_m2 = timeit(m2_fn, (v2, rgb, dep, present))
+    print(f"crop model (bb+decoder):      {t_m2*1000:8.2f} ms/batch  "
+          f"decoder ~= {(t_m2-t_bb2)*1000:.2f} ms")
+
+    # ---- full pipeline for reference ----
+    full_fn = jax.jit(lambda a, b_, c, d: pred._forward(a, b_, c, d, osd=False,
+                                                        refine=True))
+    t_full = timeit(full_fn, (v1, v2, img, xyz))
+    print(f"TOTAL fused two-stage:        {t_full*1000:8.2f} ms/batch "
+          f"({B/t_full:.2f} img/s)")
+    n_present = int(np.asarray(jnp.sum(crops.present)))
+    print(f"present crops: {n_present} / {B*T}")
 
 
 if __name__ == "__main__":

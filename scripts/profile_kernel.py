@@ -1,0 +1,69 @@
+"""Pipelined micro-benchmark of the fused cross-attention kernel at flagship
+shapes (stage-1: B=4, K=307200; crop stage: P=24, K=50176). Enqueues all
+iterations and syncs once, so the dev tunnel's ~28 ms RTT is excluded."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from unseenobjectswithmeanshift_tpu.ops.fused_cross_attention import (
+    fused_uoms_cross_attention,
+)
+
+
+def bench_shape(name, B, K, block_k=1024, block_b=4, iters=30, layers=6):
+    H, Q, D, C, Cm, E = 8, 100, 32, 64, 256, 256
+    rng = np.random.RandomState(0)
+    dt = jnp.bfloat16
+    qn = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32)).astype(dt)
+    featT = jnp.asarray(rng.randn(B, C, K).astype(np.float32) * .3).astype(dt)
+    mfT = jnp.asarray(rng.randn(B, Cm, K).astype(np.float32) * .3).astype(dt)
+    me = jnp.asarray(rng.randn(B, Q, Cm).astype(np.float32)).astype(dt)
+    posT = jnp.asarray(rng.randn(E, K).astype(np.float32) * .3).astype(dt)
+    awk = jnp.asarray(rng.randn(C, E).astype(np.float32) * .2).astype(dt)
+    awv = jnp.asarray(rng.randn(C, E).astype(np.float32) * .2).astype(dt)
+    wk = jnp.asarray(rng.randn(E, E).astype(np.float32) * .1).astype(dt)
+    ck = jnp.asarray(rng.randn(E).astype(np.float32) * .1).astype(dt)
+    cv = jnp.asarray(rng.randn(E).astype(np.float32) * .1).astype(dt)
+
+    @jax.jit
+    def run(qn):
+        # chain `layers` kernel calls like the decoder does
+        out = qn
+        for _ in range(layers):
+            out = fused_uoms_cross_attention(
+                out, featT, mfT, me, posT, awk, awv, wk, ck, cv,
+                block_k=block_k, block_b=block_b)
+            out = out / jnp.maximum(
+                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6)
+        return jnp.sum(out.astype(jnp.float32))
+
+    np.asarray(run(qn))
+    t0 = time.perf_counter()
+    outs = [run(qn) for _ in range(iters)]
+    np.asarray(outs[-1])
+    dt_s = (time.perf_counter() - t0) / iters
+    flops = layers * B * K * 2 * (2 * C * E + Q * Cm + H * Q * D + H * Q * (D + 1)) \
+        + layers * (K // block_k) * ((B + block_b - 1) // block_b) * 2 * E * E * block_k
+    dma = layers * B * K * (C + Cm) * 2
+    print(f"{name:26s} block_k={block_k:5d} bb={block_b}: "
+          f"{dt_s*1000:7.2f} ms ({layers} layers)  "
+          f"{flops/dt_s/1e12:5.1f} TF/s  {dma/dt_s/1e9:5.0f} GB/s")
+    return dt_s
+
+
+if __name__ == "__main__":
+    for bk in (1024, 2048, 4096):
+        bench_shape("stage1 B=4 K=307200", 4, 307200, block_k=bk)
+    for bk in (1024, 2048):
+        bench_shape("crop P=24 K=50176", 24, 50176, block_k=bk)
+    bench_shape("crop P=24 K=50176", 24, 50176, block_k=1024, block_b=8)

@@ -60,3 +60,18 @@ def test_two_stage_batch(tiny_predictor, rng):
     xyz = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
     labels, refined = pred(v1, v2, img, xyz)
     assert labels.shape == (2, 64, 64)
+
+
+def test_bucketed_matches_single_graph(tiny_predictor, rng):
+    """The bucketed (compacted stage-2) path must reproduce the single-graph
+    path exactly: per-crop compute is independent and the paste-back gates on
+    the original present mask."""
+    pred, v1, v2 = tiny_predictor
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    labels_b, refined_b = pred(v1, v2, img, xyz)  # bucketed default
+    labels_s, refined_s = jax.jit(
+        pred._forward, static_argnames=("osd", "refine"))(
+        v1, v2, img, xyz, osd=False, refine=True)
+    np.testing.assert_array_equal(np.asarray(labels_b), np.asarray(labels_s))
+    np.testing.assert_array_equal(np.asarray(refined_b), np.asarray(refined_s))

@@ -58,12 +58,15 @@ class TwoStagePredictor:
     """
 
     def __init__(self, cfg: Config, cfg_crop: Optional[Config] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, bucketed: bool = True):
         self.cfg = cfg
         self.cfg_crop = cfg_crop or cfg
         self.model = MSMFormer(cfg=cfg, dtype=dtype)
         self.model_crop = MSMFormer(cfg=self.cfg_crop, dtype=dtype)
+        self.bucketed = bucketed
         self._fn = None
+        self._s1_fn = None
+        self._s2_fn = None
 
     def init(self, rng, image_shape, crop_size: int = 224):
         """Initialize both stage param trees (for tests / training-from-scratch)."""
@@ -76,23 +79,44 @@ class TwoStagePredictor:
         v2 = self.model_crop.init(rng, imgc, xyzc)
         return v1, v2
 
+    def _buckets(self, BT: int):
+        """Crop-budget buckets: the crop network compiles once per bucket and the
+        smallest bucket >= the actual crop count runs. Random/clutter scenes fill
+        slots; typical OCID images have < 10 instances, so most steps run the
+        small graphs."""
+        base = (8, 16, 24, 32, 48, 64)
+        return sorted({min(b, BT) for b in base} | {BT})
+
     def __call__(self, variables, variables_crop, image, xyz=None, osd: bool = False,
                  refine: bool = True):
-        if self._fn is None:
-            self._fn = jax.jit(partial(self._forward), static_argnames=("osd", "refine"))
-        return self._fn(variables, variables_crop, image, xyz, osd=osd, refine=refine)
+        if not self.bucketed or not refine:
+            if self._fn is None:
+                self._fn = jax.jit(partial(self._forward),
+                                   static_argnames=("osd", "refine"))
+            return self._fn(variables, variables_crop, image, xyz, osd=osd,
+                            refine=refine)
+        # Bucketed two-graph path: stage 1 (+ crop extraction + compaction) runs,
+        # ONE scalar (the crop count) syncs to host, and the crop network runs at
+        # the smallest compiled budget that fits - absent RoI slots never reach
+        # the crop backbone (the fused decoder kernel already skipped them; the
+        # XLA convs could not).
+        if self._s1_fn is None:
+            self._s1_fn = jax.jit(self._stage1_and_crops, static_argnames=("osd",))
+            self._s2_fn = jax.jit(self._stage2_refine, static_argnames=("P",))
+        labels, crops, perm, count = self._s1_fn(variables, image, xyz, osd=osd)
+        n = int(count)
+        if n == 0:
+            return labels, labels
+        BT = perm.shape[0]
+        P = next(b for b in self._buckets(BT) if b >= n)
+        refined = self._s2_fn(variables_crop, labels, crops, perm, P=P)
+        return labels, refined
 
-    def _forward(self, variables, variables_crop, image, xyz, osd: bool,
-                 refine: bool):
-        """image: [B, H, W, 3]; xyz: [B, H, W, 3] or None (already padded /32)."""
+    def _stage1_labels_batch(self, variables, image, xyz, osd: bool):
+        """Stage-1 network + per-image postprocess -> [B, H, W] labels."""
         cfg = self.cfg
-        t = cfg.test
-        B, H, W = image.shape[0], image.shape[1], image.shape[2]
-        T, S = t.max_instances, t.crop_size
-
-        has_depth = xyz is not None
+        H, W = image.shape[1], image.shape[2]
         outputs = self.model.apply(variables, image, xyz, light=True)
-
         light = "pred_masks" not in outputs
         if light:
             per_img = {"pred_logits": outputs["pred_logits"],
@@ -101,33 +125,32 @@ class TwoStagePredictor:
         else:
             per_img = {"pred_logits": outputs["pred_logits"],
                        "pred_masks": outputs["pred_masks"]}
-        if has_depth:
+        if xyz is not None:
             labels, _ = jax.vmap(
                 lambda o, d: stage1_labels(cfg, o, d, (H, W), osd=osd))(per_img, xyz)
         else:
             labels, _ = jax.vmap(
                 lambda o: stage1_labels(cfg, o, None, (H, W), osd=osd))(per_img)
+        return labels
 
-        if not refine:
-            return labels, labels
+    def _extract_crops(self, image, labels, xyz):
+        t = self.cfg.test
+        T, S = t.max_instances, t.crop_size
 
-        # ---- stage 2: batched crops ----
         def per_image_crops(img_i, lab_i, xyz_i=None):
             return crop_rois(img_i, lab_i, xyz_i, max_instances=T, crop_size=S,
                              padding=t.crop_padding)
 
-        if has_depth:
-            crops = jax.vmap(per_image_crops)(image, labels, xyz)
-        else:
-            crops = jax.vmap(per_image_crops)(image, labels)
+        if xyz is not None:
+            return jax.vmap(per_image_crops)(image, labels, xyz)
+        return jax.vmap(per_image_crops)(image, labels)
 
-        # one batched forward over all B*T crops
-        rgb = crops.rgb.reshape(B * T, S, S, 3)
-        dep = crops.xyz.reshape(B * T, S, S, 3) if crops.xyz is not None else None
-        crop_out = self.model_crop.apply(variables_crop, rgb, dep, light=True,
-                                         present=crops.present.reshape(B * T))
-
+    def _crop_labels(self, variables_crop, rgb, dep, present):
+        """Crop-network forward + per-crop label images for [P, S, S] crops."""
+        S = self.cfg.test.crop_size
         tc = self.cfg_crop.test
+        crop_out = self.model_crop.apply(variables_crop, rgb, dep, light=True,
+                                         present=present)
         crop_light = "pred_masks" not in crop_out
         if crop_light:
             crop_per = {"pred_logits": crop_out["pred_logits"],
@@ -150,8 +173,12 @@ class TwoStagePredictor:
                                            low_threshold=tc.low_threshold)
             return combine_masks(inst)
 
-        labels_crop = jax.vmap(per_crop_labels)(crop_per)
-        labels_crop = labels_crop.reshape(B, T, S, S)
+        return jax.vmap(per_crop_labels)(crop_per)
+
+    def _paste_back(self, labels, crops, labels_crop):
+        """match_label_crop over the batch + the no-crop fallback."""
+        t = self.cfg.test
+        H, W = labels.shape[1], labels.shape[2]
 
         def per_image_refine(lab_i, crops_i, labels_crop_i):
             return match_label_crop(
@@ -163,5 +190,57 @@ class TwoStagePredictor:
         refined = jax.vmap(per_image_refine)(labels, crops, labels_crop)
         # no surviving crops -> keep stage-1 labels (ref: test_utils.py:324-330)
         any_crop = jnp.any(crops.present, axis=-1)
-        refined = jnp.where(any_crop[:, None, None], refined, labels)
+        return jnp.where(any_crop[:, None, None], refined, labels)
+
+    def _stage1_and_crops(self, variables, image, xyz, osd: bool):
+        """Graph 1 of the bucketed path: labels + crops + compaction order.
+
+        perm: [B*T] int32 putting present crop slots first (stable), so
+        perm[:P] covers every present crop whenever P >= count.
+        """
+        labels = self._stage1_labels_batch(variables, image, xyz, osd)
+        crops = self._extract_crops(image, labels, xyz)
+        present_flat = crops.present.reshape(-1)
+        perm = jnp.argsort(~present_flat, stable=True).astype(jnp.int32)
+        count = jnp.sum(present_flat.astype(jnp.int32))
+        return labels, crops, perm, count
+
+    def _stage2_refine(self, variables_crop, labels, crops, perm, P: int):
+        """Graph 2 (compiled per budget P): crop network on the P compacted
+        slots, per-crop labels scattered back to the [B, T] slot layout, then
+        the paste-back. Identical outputs to the single-graph path: per-crop
+        compute is independent, and absent slots' label images are ignored by
+        match_label_crop's present gating."""
+        B, T = crops.present.shape
+        S = self.cfg.test.crop_size
+        idx = perm[:P]
+        rgb = crops.rgb.reshape(B * T, S, S, 3)[idx]
+        dep = (crops.xyz.reshape(B * T, S, S, 3)[idx]
+               if crops.xyz is not None else None)
+        present = crops.present.reshape(B * T)[idx]
+        labels_crop_p = self._crop_labels(variables_crop, rgb, dep, present)
+        labels_crop = jnp.zeros((B * T, S, S), labels_crop_p.dtype)
+        labels_crop = labels_crop.at[idx].set(labels_crop_p)
+        labels_crop = labels_crop.reshape(B, T, S, S)
+        return self._paste_back(labels, crops, labels_crop)
+
+    def _forward(self, variables, variables_crop, image, xyz, osd: bool,
+                 refine: bool):
+        """Single-graph path: image [B, H, W, 3]; xyz [B, H, W, 3] or None
+        (already padded /32). The crop network runs over ALL B*T slots."""
+        B = image.shape[0]
+        T, S = self.cfg.test.max_instances, self.cfg.test.crop_size
+
+        labels = self._stage1_labels_batch(variables, image, xyz, osd)
+        if not refine:
+            return labels, labels
+
+        # ---- stage 2: batched crops ----
+        crops = self._extract_crops(image, labels, xyz)
+        rgb = crops.rgb.reshape(B * T, S, S, 3)
+        dep = crops.xyz.reshape(B * T, S, S, 3) if crops.xyz is not None else None
+        labels_crop = self._crop_labels(variables_crop, rgb, dep,
+                                        crops.present.reshape(B * T))
+        labels_crop = labels_crop.reshape(B, T, S, S)
+        refined = self._paste_back(labels, crops, labels_crop)
         return labels, refined
