@@ -20,7 +20,7 @@ from unseenobjectswithmeanshift_tpu.ops.fused_cross_attention import (
 )
 
 
-def bench_shape(name, B, K, block_k=1024, block_b=4, iters=30, layers=6):
+def bench_shape(name, B, K, block_k=1024, block_b=4, iters=30, layers=2):
     H, Q, D, C, Cm, E = 8, 100, 32, 64, 256, 256
     rng = np.random.RandomState(0)
     dt = jnp.bfloat16
@@ -57,13 +57,11 @@ def bench_shape(name, B, K, block_k=1024, block_b=4, iters=30, layers=6):
     dma = layers * B * K * (C + Cm) * 2
     print(f"{name:26s} block_k={block_k:5d} bb={block_b}: "
           f"{dt_s*1000:7.2f} ms ({layers} layers)  "
-          f"{flops/dt_s/1e12:5.1f} TF/s  {dma/dt_s/1e9:5.0f} GB/s")
+          f"{flops/dt_s/1e12:5.1f} TF/s  {dma/dt_s/1e9:5.0f} GB/s", flush=True)
     return dt_s
 
 
 if __name__ == "__main__":
-    for bk in (1024, 2048, 4096):
-        bench_shape("stage1 B=4 K=307200", 4, 307200, block_k=bk)
     for bk in (1024, 2048):
-        bench_shape("crop P=24 K=50176", 24, 50176, block_k=bk)
-    bench_shape("crop P=24 K=50176", 24, 50176, block_k=1024, block_b=8)
+        bench_shape("stage1 B=4 K=307200", 4, 307200, block_k=bk)
+    bench_shape("crop P=24 K=50176", 24, 50176, block_k=1024)

@@ -110,12 +110,19 @@ def filter_labels_depth(label, xyz_z, threshold: float, max_label: int):
     label: [H, W] int32 with values in [0, max_label); xyz_z: [H, W] z channel.
     """
     V = max_label
-    onehot = jax.nn.one_hot(label, V, dtype=jnp.float32, axis=0)       # [V, H, W]
-    sizes = onehot.sum((-1, -2))                                        # [V]
-    valid_depth = (onehot * (xyz_z > 0)).sum((-1, -2))
+    HW = label.shape[0] * label.shape[1]
+    oh = jax.nn.one_hot(label.reshape(HW), V, dtype=jnp.float32, axis=0)  # [V, HW]
+    # per-label pixel count and valid-depth count in ONE matmul
+    rhs = jnp.stack([jnp.ones(HW, jnp.float32),
+                     (xyz_z.reshape(HW) > 0).astype(jnp.float32)], axis=-1)
+    stats = oh @ rhs                                                    # [V, 2]
+    sizes, valid_depth = stats[:, 0], stats[:, 1]
     frac = valid_depth / jnp.maximum(sizes, 1.0)
     keep = (frac >= threshold) | (jnp.arange(V) == 0)                   # 0 = background
-    return jnp.where(keep[label], label, 0)
+    # keep[label] as a matvec through the one-hot (per-pixel table gathers are
+    # TPU-hostile; this was 13.6 ms/batch as a gather, < 1 ms as a matvec)
+    keep_pix = (keep.astype(jnp.float32) @ oh).reshape(label.shape) > 0.5
+    return jnp.where(keep_pix, label, 0)
 
 
 def mask_to_tight_box(mask):
@@ -163,9 +170,13 @@ def filter_labels_bbox(label, bboxes, num_boxes_valid, max_label: int,
                                   jnp.zeros((H, W), bool))
 
     V = max_label
-    onehot = jax.nn.one_hot(label, V, dtype=jnp.float32, axis=0)
-    sizes = onehot.sum((-1, -2))
-    inside_counts = (onehot * bbox_mask).sum((-1, -2))
+    HW = H * W
+    oh = jax.nn.one_hot(label.reshape(HW), V, dtype=jnp.float32, axis=0)  # [V, HW]
+    rhs = jnp.stack([jnp.ones(HW, jnp.float32),
+                     bbox_mask.reshape(HW).astype(jnp.float32)], axis=-1)
+    stats = oh @ rhs                                                      # [V, 2]
+    sizes, inside_counts = stats[:, 0], stats[:, 1]
     pct = inside_counts / jnp.maximum(sizes, 1.0)
     drop = (pct > threshold) & (jnp.arange(V) != 0)
-    return jnp.where(drop[label], 0, label)
+    drop_pix = (drop.astype(jnp.float32) @ oh).reshape(label.shape) > 0.5
+    return jnp.where(drop_pix, 0, label)

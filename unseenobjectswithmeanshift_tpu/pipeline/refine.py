@@ -31,9 +31,16 @@ class Crops(NamedTuple):
     present: jax.Array    # [T] bool
 
 
-def _bilinear_sample_box(img, y_min, y_max, x_min, x_max, out_size: int):
-    """align_corners=True bilinear resample of img[y_min:y_max+1, x_min:x_max+1]
-    to [out_size, out_size]. img: [H, W, C]."""
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _bilinear_selectors(y_min, y_max, x_min, x_max, H, W, out_size: int):
+    """Row/col bilinear selector matrices (align_corners=True) for the box:
+    Wy [S, H] has the two interpolation weights per output row (zeros
+    elsewhere), likewise Wx [S, W]. Sampling becomes two MATMULS - gathers at
+    these sizes are TPU-hostile (the paste-back in match_label_crop uses the
+    same trick). Adding the exact-zero terms changes nothing, so results match
+    the gather formulation bitwise."""
     S = out_size
     fy = (y_max - y_min).astype(jnp.float32) / (S - 1)
     fx = (x_max - x_min).astype(jnp.float32) / (S - 1)
@@ -41,29 +48,45 @@ def _bilinear_sample_box(img, y_min, y_max, x_min, x_max, out_size: int):
     sx = x_min.astype(jnp.float32) + jnp.arange(S, dtype=jnp.float32) * fx
     y0 = jnp.floor(sy).astype(jnp.int32)
     x0 = jnp.floor(sx).astype(jnp.int32)
-    H, W = img.shape[0], img.shape[1]
     y1 = jnp.minimum(y0 + 1, H - 1)
     x1 = jnp.minimum(x0 + 1, W - 1)
-    wy = (sy - y0).astype(img.dtype)
-    wx = (sx - x0).astype(img.dtype)
-    # gather rows then columns
-    top = img[y0]                        # [S, W, C]
-    bot = img[y1]
-    row = top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
-    left = row[:, x0]                    # [S, S, C]
-    right = row[:, x1]
-    return left * (1 - wx)[None, :, None] + right * wx[None, :, None]
+    wy = sy - y0
+    wx = sx - x0
+    iy = jnp.arange(H)[None, :]
+    ix = jnp.arange(W)[None, :]
+    Wy = ((iy == y0[:, None]) * (1 - wy)[:, None]
+          + (iy == y1[:, None]) * wy[:, None])                    # [S, H]
+    Wx = ((ix == x0[:, None]) * (1 - wx)[:, None]
+          + (ix == x1[:, None]) * wx[:, None])                    # [S, W]
+    return Wy, Wx
+
+
+def _bilinear_sample_box(img, y_min, y_max, x_min, x_max, out_size: int):
+    """align_corners=True bilinear resample of img[y_min:y_max+1, x_min:x_max+1]
+    to [out_size, out_size] via selector matmuls. img: [H, W, C]."""
+    H, W = img.shape[0], img.shape[1]
+    Wy, Wx = _bilinear_selectors(y_min, y_max, x_min, x_max, H, W, out_size)
+    rows = jnp.einsum("sh,hwc->swc", Wy, img.astype(jnp.float32),
+                      precision=_PREC)
+    return jnp.einsum("swc,tw->stc", rows, Wx, precision=_PREC).astype(img.dtype)
 
 
 def _nearest_sample_box(img_hw, y_min, y_max, x_min, x_max, out_size: int):
     """floor-nearest (torch upsample_nearest) resample of a [H, W] map's box to
-    [out_size, out_size]: src = box_min + floor(i * box_size / out)."""
+    [out_size, out_size]: src = box_min + floor(i * box_size / out). One-hot
+    selector matmuls (exact for the 0/1 mask values)."""
     S = out_size
+    H, W = img_hw.shape
     oh = (y_max - y_min + 1).astype(jnp.int32)
     ow = (x_max - x_min + 1).astype(jnp.int32)
     iy = y_min + (jnp.arange(S) * oh) // S
     ix = x_min + (jnp.arange(S) * ow) // S
-    return img_hw[iy][:, ix]
+    Ny = (jnp.arange(H)[None, :] == iy[:, None]).astype(jnp.float32)  # [S, H]
+    Nx = (jnp.arange(W)[None, :] == ix[:, None]).astype(jnp.float32)  # [S, W]
+    rows = jnp.einsum("sh,hw->sw", Ny, img_hw.astype(jnp.float32),
+                      precision=_PREC)
+    return jnp.einsum("sw,tw->st", rows, Nx,
+                      precision=_PREC).astype(img_hw.dtype)
 
 
 def crop_rois(image, label, xyz, max_instances: int, crop_size: int = 224,
@@ -88,11 +111,14 @@ def crop_rois(image, label, xyz, max_instances: int, crop_size: int = 224,
         x_max = jnp.minimum(x_max + xp, W - 1)
         y_min = jnp.maximum(y_min - yp, 0)
         y_max = jnp.minimum(y_max + yp, H - 1)
-        rgb = _bilinear_sample_box(image, y_min, y_max, x_min, x_max, S)
         m = _nearest_sample_box(mask.astype(jnp.float32), y_min, y_max, x_min, x_max, S)
         if xyz is not None:
-            d = _bilinear_sample_box(xyz, y_min, y_max, x_min, x_max, S)
+            # one selector-matmul pair samples rgb and xyz together
+            both = _bilinear_sample_box(jnp.concatenate([image, xyz], axis=-1),
+                                        y_min, y_max, x_min, x_max, S)
+            rgb, d = both[..., :3], both[..., 3:]
         else:
+            rgb = _bilinear_sample_box(image, y_min, y_max, x_min, x_max, S)
             d = None
         roi = jnp.stack([x_min, y_min, x_max, y_max])
         return rgb, m, d, roi, present
