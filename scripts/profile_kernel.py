@@ -35,9 +35,13 @@ def bench_shape(name, B, K, block_k=1024, block_b=4, iters=30, layers=2):
     ck = jnp.asarray(rng.randn(E).astype(np.float32) * .1).astype(dt)
     cv = jnp.asarray(rng.randn(E).astype(np.float32) * .1).astype(dt)
 
-    @jax.jit
-    def run(qn):
-        # chain `layers` kernel calls like the decoder does
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=())
+    def run(qn, featT, mfT, me, posT, awk, awv, wk, ck, cv):
+        # chain `layers` kernel calls like the decoder does; operands are jit
+        # ARGUMENTS - closing over them would bake ~800 MB of literals into
+        # the HLO and stall the remote compile
         out = qn
         for _ in range(layers):
             out = fused_uoms_cross_attention(
@@ -47,9 +51,10 @@ def bench_shape(name, B, K, block_k=1024, block_b=4, iters=30, layers=2):
                 jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6)
         return jnp.sum(out.astype(jnp.float32))
 
-    np.asarray(run(qn))
+    args = (qn, featT, mfT, me, posT, awk, awv, wk, ck, cv)
+    np.asarray(run(*args))
     t0 = time.perf_counter()
-    outs = [run(qn) for _ in range(iters)]
+    outs = [run(*args) for _ in range(iters)]
     np.asarray(outs[-1])
     dt_s = (time.perf_counter() - t0) / iters
     flops = layers * B * K * 2 * (2 * C * E + Q * Cm + H * Q * D + H * Q * (D + 1)) \

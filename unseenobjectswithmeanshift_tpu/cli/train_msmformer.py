@@ -32,6 +32,12 @@ def main(argv=None):
     p.add_argument("--checkpoint-period", type=int, default=17500)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--log-period", type=int, default=20)
+    p.add_argument("--eval-period", type=int, default=0,
+                   help="run the metric block on held-out samples every N iters "
+                        "(the reference's TEST.EVAL_PERIOD, ref: "
+                        "Base-COCO-InstanceSegmentation.yaml TEST.EVAL_PERIOD; "
+                        "0 = disabled, matching every shipped config)")
+    p.add_argument("--eval-samples", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
     args = p.parse_args(argv)
 
@@ -68,6 +74,39 @@ def main(argv=None):
         state = state.replace(params=params, batch_stats=bs)
         print(f"initialized UCN backbone from {args.init_backbone}")
 
+    eval_fn = None
+    if args.eval_period > 0:
+        from ..pipeline.two_stage import stage1_labels
+        from ..utils.evaluation import multilabel_metrics, aggregate_metrics, \
+            print_metrics
+
+        val = TableTopObject(args.root, "test", syn_crop=args.crop,
+                             crop_size=224, seed=1)
+        n_eval = min(args.eval_samples, len(val))
+
+        def _labels(variables, img, xyz):
+            out = trainer.model.apply(variables, img, xyz, light=True)
+            per = {k: out[k] for k in
+                   ("pred_logits", "pred_masks", "mask_embed", "mask_features")
+                   if k in out}
+            lab, _ = jax.vmap(lambda o, d: stage1_labels(
+                cfg, o, d, img.shape[1:3]))(per, xyz)
+            return lab
+
+        labels_jit = jax.jit(_labels)
+
+        def eval_fn(state):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            ms = []
+            for i in range(n_eval):
+                s = val[i]
+                img = jnp.asarray(s["image"][None])
+                xyz = jnp.asarray(s["xyz"][None])
+                lab = np.asarray(labels_jit(variables, img, xyz))[0]
+                ms.append(multilabel_metrics(lab, s["label"]))
+            print(print_metrics(aggregate_metrics(ms)), flush=True)
+
     mesh = make_mesh()
     print(f"mesh: {mesh.devices.shape} devices")
     step_fn = trainer.jit_train_step(mesh)
@@ -93,6 +132,8 @@ def main(argv=None):
                           f"mask {float(metrics['loss_mask']):.4f} "
                           f"dice {float(metrics['loss_dice']):.4f} "
                           f"({dt:.2f}s/it)", flush=True)
+                if eval_fn is not None and it % args.eval_period == 0:
+                    eval_fn(state)
                 if it % args.checkpoint_period == 0 or it == args.iters:
                     path = os.path.join(args.output, f"checkpoint_{it:07d}")
                     checkpoint_io.save(path, state)

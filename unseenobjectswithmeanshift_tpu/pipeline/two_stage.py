@@ -81,11 +81,11 @@ class TwoStagePredictor:
 
     def _buckets(self, BT: int):
         """Crop-budget buckets: the crop network compiles once per bucket and the
-        smallest bucket >= the actual crop count runs. Random/clutter scenes fill
-        slots; typical OCID images have < 10 instances, so most steps run the
-        small graphs."""
-        base = (8, 16, 24, 32, 48, 64)
-        return sorted({min(b, BT) for b in base} | {BT})
+        smallest bucket >= the actual crop count runs. Multiples of 8 keep the
+        bucket slack under ~1/4 of the crop cost (each bucket is one extra
+        compile, amortized over the run); typical OCID images have < 10
+        instances, so most steps run the small graphs."""
+        return sorted({min(b, BT) for b in range(8, BT + 8, 8)} | {BT})
 
     def __call__(self, variables, variables_crop, image, xyz=None, osd: bool = False,
                  refine: bool = True):
