@@ -26,15 +26,15 @@ from unseenobjectswithmeanshift_tpu.models.segnet import SEGNET, l2_normalize
 from unseenobjectswithmeanshift_tpu.pipeline.refine import crop_rois, match_label_crop
 
 
-def timeit(fn, args, iters=10):
-    out = fn(*args)
-    jax.tree.map(lambda x: np.asarray(jnp.sum(x)) if hasattr(x, "shape") else x,
-                 out if isinstance(out, tuple) else (out,))
-    chk = jax.jit(lambda *a: sum(jnp.sum(x) for x in jax.tree.leaves(fn(*a))))
+def timeit(fn, args, iters=30):
+    """Pipelined: enqueue all iterations, sync once (excludes the dev tunnel's
+    ~28 ms per-sync RTT; the TPU executes the queue back-to-back)."""
+    chk = jax.jit(lambda *a: sum(jnp.sum(x.astype(jnp.float32))
+                                 for x in jax.tree.leaves(fn(*a))))
     np.asarray(chk(*args))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        np.asarray(chk(*args))
+    outs = [chk(*args) for _ in range(iters)]
+    np.asarray(outs[-1])
     return (time.perf_counter() - t0) / iters
 
 

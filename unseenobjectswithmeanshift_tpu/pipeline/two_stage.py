@@ -1,9 +1,18 @@
-"""Two-stage (whole image + zoom-in crops) MSMFormer inference - one jit graph.
+"""Two-stage (whole image + zoom-in crops) MSMFormer inference.
 
 Mirrors test_sample_crop / test_sample_crop_nolabel (ref: lib/fcn/test_utils.py:
-245-421) but with zero host round-trips: stage 1 predicts instances, the RoI
-crops are extracted on device, the crop network runs ONCE over the whole batch of
-max_instances crops, and the refined labels are pasted back - all inside jit.
+245-421) with no per-RoI host loop: stage 1 predicts instances, the RoI crops
+are extracted on device, the crop network runs batched over compacted crop
+slots, and the refined labels are pasted back.
+
+Two execution modes (identical outputs, CPU-tested bitwise-equal):
+- bucketed (default): two jit graphs. Graph 1 = stage 1 + crop extraction +
+  present-first compaction; ONE scalar (the crop count) syncs to host; graph 2
+  (compiled per budget bucket) runs the crop network on just the present slots.
+  Absent RoI slots never reach the crop backbone.
+- single-graph (bucketed=False / refine=False): everything in one jit, the
+  crop network runs over all B*T slots (used by tests and as the conservative
+  fallback).
 
 Stage outputs:
   label       [H, W] int32  - stage-1 labels (values 0 and 2..T+1)
