@@ -180,3 +180,10 @@ def test_full_two_stage_matches_composed_torch_oracle(rng):
 
     np.testing.assert_array_equal(jax_label, ref_label)
     np.testing.assert_array_equal(jax_refined, ref_refined)
+
+    # the production (bucketed-compaction) path must match the oracle too
+    bl, br = pred(jax.tree.map(jnp.asarray, variables),
+                  jax.tree.map(jnp.asarray, variables_crop),
+                  jnp.asarray(img[None]), jnp.asarray(xyz[None]))
+    np.testing.assert_array_equal(np.asarray(bl[0]), ref_label)
+    np.testing.assert_array_equal(np.asarray(br[0]), ref_refined)

@@ -40,3 +40,26 @@ def test_ucn_two_stage_smoke(rng):
     # label 0 is the largest cluster by construction
     counts = np.bincount(lab.ravel())
     assert counts[0] == counts.max()
+
+
+def test_ucn_bucketed_matches_single_graph(rng):
+    """Bucketed crop compaction must reproduce the single-graph UCN path."""
+    cfg = get_config("tabletop_pretrained")
+    cfg.backbone.num_units = 16
+    cfg.mean_shift.num_seeds = 12
+    cfg.test.max_instances = 4
+    cfg.test.crop_size = 32
+
+    pred = UCNPredictor(cfg)
+    pred.network = TinySeg(input_type="RGBD", fusion_type="add", num_units=16)
+    pred.network_crop = TinySeg(input_type="RGBD", fusion_type="add", num_units=16)
+    v1, v2 = pred.init(jax.random.PRNGKey(0), (64, 64), crop_size=32)
+
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) + 0.5)
+    labels_b, refined_b = pred(v1, v2, img, xyz)  # bucketed default
+    labels_s, refined_s = jax.jit(
+        pred._forward, static_argnames=("refine", "depth_threshold"))(
+        v1, v2, img, xyz, depth_threshold=0.8, refine=True, first_seed_idx=0)
+    np.testing.assert_array_equal(np.asarray(labels_b), np.asarray(labels_s))
+    np.testing.assert_array_equal(np.asarray(refined_b), np.asarray(refined_s))

@@ -1,5 +1,5 @@
 """UCN legacy inference: embedding features -> vMF mean-shift clustering ->
-zoom-in refinement. One jit graph.
+zoom-in refinement, on-device with bucketed crop compaction (see UCNPredictor).
 
 Mirrors test_sample / test_segnet (ref: lib/fcn/test_dataset.py:232-321):
   features = SEGNET(image, xyz)                      [stride-8 FCN, 64-d unit vecs]
@@ -31,15 +31,25 @@ from .refine import crop_rois, match_label_crop
 
 
 class UCNPredictor:
-    """Two-stage UCN predictor (whole network + crop network)."""
+    """Two-stage UCN predictor (whole network + crop network).
+
+    Like TwoStagePredictor, the default execution is bucketed: present crop
+    slots are compacted to the front, one scalar (the crop count) syncs to
+    host, and the crop network + per-crop mean-shift clustering run at the
+    smallest compiled budget bucket that fits (empty slots are skipped
+    entirely). bucketed=False keeps everything in one jit graph over all
+    B*T slots; outputs are identical."""
 
     def __init__(self, cfg: Config, cfg_crop: Optional[Config] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, bucketed: bool = True):
         self.cfg = cfg
         self.cfg_crop = cfg_crop or cfg
         self.network = build_segnet(cfg, dtype=dtype)
         self.network_crop = build_segnet(self.cfg_crop, dtype=dtype)
+        self.bucketed = bucketed
         self._fn = None
+        self._s1_fn = None
+        self._s2_fn = None
 
     def init(self, rng, image_shape, crop_size: int = 224):
         H, W = image_shape
@@ -51,24 +61,63 @@ class UCNPredictor:
         v2 = self.network_crop.init(rng, imgc, xyzc)
         return v1, v2
 
+    def _buckets(self, BT: int):
+        return sorted({min(b, BT) for b in range(8, BT + 8, 8)} | {BT})
+
     def __call__(self, variables, variables_crop, image, xyz=None,
                  depth_threshold: float = 0.8, refine: bool = True,
                  first_seed_idx: int = 0):
-        if self._fn is None:
-            self._fn = jax.jit(self._forward,
-                               static_argnames=("refine", "depth_threshold"))
-        return self._fn(variables, variables_crop, image, xyz,
-                        depth_threshold=depth_threshold, refine=refine,
-                        first_seed_idx=first_seed_idx)
+        if not self.bucketed or not refine:
+            if self._fn is None:
+                self._fn = jax.jit(self._forward,
+                                   static_argnames=("refine", "depth_threshold"))
+            return self._fn(variables, variables_crop, image, xyz,
+                            depth_threshold=depth_threshold, refine=refine,
+                            first_seed_idx=first_seed_idx)
+        if self._s1_fn is None:
+            self._s1_fn = jax.jit(self._stage1_and_crops,
+                                  static_argnames=("depth_threshold",))
+            self._s2_fn = jax.jit(self._stage2_refine, static_argnames=("P",))
+        labels, crops, perm, count = self._s1_fn(
+            variables, image, xyz, depth_threshold=depth_threshold,
+            first_seed_idx=first_seed_idx)
+        n = int(count)
+        if n == 0:
+            return labels, labels
+        P = next(b for b in self._buckets(perm.shape[0]) if b >= n)
+        refined = self._s2_fn(variables_crop, labels, crops, perm,
+                              first_seed_idx, P=P)
+        return labels, refined
 
-    def _forward(self, variables, variables_crop, image, xyz,
-                 depth_threshold: float, refine: bool, first_seed_idx):
-        cfg = self.cfg
-        ms = cfg.mean_shift
-        t = cfg.test
-        B, H, W = image.shape[:3]
-        T, S = t.max_instances, t.crop_size
+    def _stage1_and_crops(self, variables, image, xyz, depth_threshold: float,
+                          first_seed_idx):
+        labels = self._stage1_labels(variables, image, xyz, depth_threshold,
+                                     first_seed_idx)
+        crops = self._extract_crops(image, labels, xyz)
+        present_flat = crops.present.reshape(-1)
+        perm = jnp.argsort(~present_flat, stable=True).astype(jnp.int32)
+        count = jnp.sum(present_flat.astype(jnp.int32))
+        return labels, crops, perm, count
 
+    def _stage2_refine(self, variables_crop, labels, crops, perm,
+                       first_seed_idx, P: int):
+        B, T = crops.present.shape
+        S = self.cfg.test.crop_size
+        idx = perm[:P]
+        rgb = crops.rgb.reshape(B * T, S, S, 3)[idx]
+        dep = (crops.xyz.reshape(B * T, S, S, 3)[idx]
+               if crops.xyz is not None else None)
+        labels_crop_p = self._crop_labels(variables_crop, rgb, dep,
+                                          first_seed_idx)
+        labels_crop = jnp.zeros((B * T, S, S), labels_crop_p.dtype)
+        labels_crop = labels_crop.at[idx].set(labels_crop_p)
+        return self._paste_back(labels, crops, labels_crop.reshape(B, T, S, S))
+
+    def _stage1_labels(self, variables, image, xyz, depth_threshold: float,
+                       first_seed_idx):
+        """Embedding features -> clustering -> depth filter -> SHIFTED labels
+        (object k in crop slot value k+1 == t+2)."""
+        ms = self.cfg.mean_shift
         features = self.network.apply(variables, image, xyz)       # [B, H, W, C]
 
         def cluster_one(feat):
@@ -84,10 +133,11 @@ class UCNPredictor:
             labels = jax.vmap(lambda l, d: filter_labels_depth(
                 l, d[..., 2], depth_threshold,
                 max_label=ms.num_seeds))(labels, xyz)
+        return labels
 
-        if not refine:
-            return labels, labels
-
+    def _extract_crops(self, image, labels, xyz):
+        t = self.cfg.test
+        T, S = t.max_instances, t.crop_size
         # shift labels so object k (1..T) sits in crop slot value k+1 == t+2
         shifted = jnp.where(labels > 0, labels + 1, 0)
 
@@ -96,12 +146,13 @@ class UCNPredictor:
                              padding=t.crop_padding)
 
         if xyz is not None:
-            crops = jax.vmap(per_image_crops)(image, shifted, xyz)
-        else:
-            crops = jax.vmap(per_image_crops)(image, shifted)
+            return jax.vmap(per_image_crops)(image, shifted, xyz)
+        return jax.vmap(per_image_crops)(image, shifted)
 
-        rgb = crops.rgb.reshape(B * T, S, S, 3)
-        dep = crops.xyz.reshape(B * T, S, S, 3) if crops.xyz is not None else None
+    def _crop_labels(self, variables_crop, rgb, dep, first_seed_idx):
+        """Crop-network features -> per-crop clustering -> +1-shifted labels."""
+        ms = self.cfg.mean_shift
+        S = rgb.shape[1]
         feat_crop = self.network_crop.apply(variables_crop, rgb, dep)
 
         def cluster_crop(feat):
@@ -111,12 +162,16 @@ class UCNPredictor:
                 epsilon=ms.epsilon, first_seed_idx=first_seed_idx)
             return lab.reshape(S, S)
 
-        labels_crop = jax.vmap(cluster_crop)(feat_crop).reshape(B, T, S, S)
+        labels_crop = jax.vmap(cluster_crop)(feat_crop)
         # UCN crop labels: 0 = background cluster, objects 1..; match_label_crop's
         # candidate values span 0..T+1, so shift crop labels by +1 too (background
         # stays 0, giving the same keep/paste semantics as the reference, which
         # iterates ALL unique crop labels including 0)
-        labels_crop = jnp.where(labels_crop > 0, labels_crop + 1, 0)
+        return jnp.where(labels_crop > 0, labels_crop + 1, 0)
+
+    def _paste_back(self, labels, crops, labels_crop):
+        t = self.cfg.test
+        H, W = labels.shape[1], labels.shape[2]
 
         def per_image_refine(crops_i, labels_crop_i):
             return match_label_crop(
@@ -127,5 +182,22 @@ class UCNPredictor:
 
         refined = jax.vmap(per_image_refine)(crops, labels_crop)
         any_crop = jnp.any(crops.present, axis=-1)
-        refined = jnp.where(any_crop[:, None, None], refined, labels)
+        return jnp.where(any_crop[:, None, None], refined, labels)
+
+    def _forward(self, variables, variables_crop, image, xyz,
+                 depth_threshold: float, refine: bool, first_seed_idx):
+        B = image.shape[0]
+        T, S = self.cfg.test.max_instances, self.cfg.test.crop_size
+
+        labels = self._stage1_labels(variables, image, xyz, depth_threshold,
+                                     first_seed_idx)
+        if not refine:
+            return labels, labels
+
+        crops = self._extract_crops(image, labels, xyz)
+        rgb = crops.rgb.reshape(B * T, S, S, 3)
+        dep = crops.xyz.reshape(B * T, S, S, 3) if crops.xyz is not None else None
+        labels_crop = self._crop_labels(variables_crop, rgb, dep,
+                                        first_seed_idx).reshape(B, T, S, S)
+        refined = self._paste_back(labels, crops, labels_crop)
         return labels, refined
