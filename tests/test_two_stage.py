@@ -75,3 +75,29 @@ def test_bucketed_matches_single_graph(tiny_predictor, rng):
         v1, v2, img, xyz, osd=False, refine=True)
     np.testing.assert_array_equal(np.asarray(labels_b), np.asarray(labels_s))
     np.testing.assert_array_equal(np.asarray(refined_b), np.asarray(refined_s))
+
+
+def test_sharded_serving_matches_single_device(tiny_predictor, rng):
+    """DP-sharded inference over an 8-device CPU mesh must match the
+    unsharded single-graph path (per-device crop work is device-local)."""
+    from unseenobjectswithmeanshift_tpu.parallel.mesh import (
+        make_mesh, shard_batch, replicate,
+    )
+
+    pred, v1, v2 = tiny_predictor
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    img = jnp.asarray(rng.rand(8, 64, 64, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(8, 64, 64, 3).astype(np.float32))
+
+    labels_ref, refined_ref = jax.jit(
+        pred._forward, static_argnames=("osd", "refine"))(
+        v1, v2, img, xyz, osd=False, refine=True)
+
+    mesh = make_mesh()
+    with mesh:
+        fn = pred.jit_sharded(mesh)
+        labels_s, refined_s = fn(replicate(mesh, v1), replicate(mesh, v2),
+                                 shard_batch(mesh, img), shard_batch(mesh, xyz))
+    np.testing.assert_array_equal(np.asarray(labels_s), np.asarray(labels_ref))
+    np.testing.assert_array_equal(np.asarray(refined_s), np.asarray(refined_ref))

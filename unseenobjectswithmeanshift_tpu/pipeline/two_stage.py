@@ -121,6 +121,23 @@ class TwoStagePredictor:
         refined = self._s2_fn(variables_crop, labels, crops, perm, P=P)
         return labels, refined
 
+    def jit_sharded(self, mesh, osd: bool = False, refine: bool = True):
+        """Data-parallel serving step over a device mesh: the batch dimension is
+        sharded on the mesh's 'dp' axis, parameters replicated (the reference's
+        multi-GPU eval parallelism, detectron2 launch + DDP). Uses the
+        single-graph path - per-device crop work stays device-local, so no
+        cross-chip resharding of the RoI tensors is ever needed.
+
+        Returns fn(variables, variables_crop, image, xyz) -> (labels, refined);
+        batch size must be divisible by the mesh size."""
+        from ..parallel.mesh import batch_sharding, replicated
+
+        bs = batch_sharding(mesh)
+        rep = replicated(mesh)
+        fn = partial(self._forward, osd=osd, refine=refine)
+        return jax.jit(fn, in_shardings=(rep, rep, bs, bs),
+                       out_shardings=(bs, bs))
+
     def _stage1_labels_batch(self, variables, image, xyz, osd: bool):
         """Stage-1 network + per-image postprocess -> [B, H, W] labels."""
         cfg = self.cfg
