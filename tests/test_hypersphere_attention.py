@@ -108,3 +108,43 @@ def test_core_output_is_unit_norm(rng):
     out, attn = hypersphere_attention_core(q, k, v)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1), 1.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(attn).sum(-1), 1.0, atol=1e-5)
+
+
+def test_chunked_masked_attention_matches_dense(rng):
+    """Chunked online-softmax attention == dense masked attention (values and
+    gradients), including all-masked-row guard and K padding."""
+    import jax
+    from unseenobjectswithmeanshift_tpu.ops.hypersphere_attention import (
+        MhaParams, meanshift_attention, chunked_masked_meanshift_attention,
+        bool_mask_to_bias,
+    )
+
+    B, Q, K, E, H = 2, 6, 700, 32, 4   # K not a multiple of the chunk size
+    p = MhaParams(*[jnp.asarray(rng.randn(*s).astype(np.float32) * 0.2)
+                    for s in [(E, E)] * 3 + [(E,)] * 3 + [(E, E), (E,)]])
+    # zero k-bias: padded zero keys then project to exactly zero vectors,
+    # which must NOT poison gradients (l2-normalize at 0 has a nan backward
+    # in the norm/max formulation - the chunked path uses rsqrt)
+    p = p._replace(k_bias=jnp.zeros((E,)))
+    q = jnp.asarray(rng.randn(B, Q, E).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, K, E).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, K, E).astype(np.float32))
+    ml = jnp.asarray(rng.randn(B, Q, K).astype(np.float32))
+    ml = ml.at[0, 0].set(-1.0)          # one fully-masked row -> guard path
+
+    dense, _ = meanshift_attention(p, q, k, v, H,
+                                   mask_bias=bool_mask_to_bias(ml < 0))
+    chunked = chunked_masked_meanshift_attention(p, q, k, v, H, ml,
+                                                 chunk_size=256)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradients w.r.t. inputs and params agree
+    gd = jax.grad(lambda k_, v_: jnp.sum(meanshift_attention(
+        p, q, k_, v_, H, mask_bias=bool_mask_to_bias(ml < 0))[0] ** 2),
+        argnums=(0, 1))(k, v)
+    gc = jax.grad(lambda k_, v_: jnp.sum(chunked_masked_meanshift_attention(
+        p, q, k_, v_, H, ml, chunk_size=256) ** 2), argnums=(0, 1))(k, v)
+    for a, b in zip(gc, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

@@ -30,9 +30,13 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.hypersphere_attention import (
-    MhaParams, meanshift_attention, bool_mask_to_bias, l2_normalize,
-    split_heads, merge_heads,
+    MhaParams, meanshift_attention, chunked_masked_meanshift_attention,
+    bool_mask_to_bias, l2_normalize, split_heads, merge_heads,
 )
+
+# masked cross-attention switches to the chunked online-softmax formulation at
+# this key count (dense [B, H, Q, K] weights OOM HBM at full-res training)
+CHUNKED_ATTENTION_MIN_K = 32768
 from ..ops.pallas_attention import (
     masked_hypersphere_attention, fused_masked_hypersphere_attention,
 )
@@ -144,6 +148,16 @@ class MultiheadAttention(nn.Module):
             out = merge_heads(l2_normalize(out))
             return proj(out, p.out_kernel, p.out_bias)
         if self.meanshift:
+            if (mask_bias is None and mask_logits is not None
+                    and key.shape[1] >= CHUNKED_ATTENTION_MIN_K):
+                # large-K masked cross-attention without the Pallas kernel
+                # (training, or CPU eval at full resolution): the dense path's
+                # [B, H, Q, K] weights would exceed HBM - use the chunked
+                # online-softmax formulation (fwd+bwd memory O(chunk))
+                return chunked_masked_meanshift_attention(
+                    p, query, key, value, self.num_heads,
+                    mask_logits.reshape(query.shape[0], query.shape[1], -1),
+                    kappa=self.kappa, precision=prec)
             if mask_bias is None and mask_logits is not None:
                 mask_bias = bool_mask_to_bias(mask_logits < 0)
             out, _ = meanshift_attention(p, query, key, value, self.num_heads,
@@ -233,6 +247,9 @@ class MeanShiftDecoder(nn.Module):
     use_pallas: bool = False
     use_meanshift_seeds: bool = False   # dormant reference path (:552-568,:904-921)
     materialize_masks: bool = True      # False: fused path returns mask_embed only
+    remat: bool = False                 # checkpoint the attention modules (training:
+    # the unfused masked attention holds [B, H, Q, K] logits - 3.9 GB fp32 at
+    # 480x640 batch 4 - per layer; remat recomputes them in backward instead)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -344,6 +361,8 @@ class MeanShiftDecoder(nn.Module):
             output = jnp.broadcast_to(query_feat[None].astype(dt), (B, Q, E))
         qpos = jnp.broadcast_to(query_embed[None].astype(dt), (B, Q, E))
 
+        AttnModule = nn.remat(MultiheadAttention) if self.remat else MultiheadAttention
+
         predictions_class, predictions_mask = [], []
         outputs_class, outputs_mask, head_aux = prediction_heads(output, sizes[0])
         predictions_class.append(outputs_class)
@@ -352,7 +371,7 @@ class MeanShiftDecoder(nn.Module):
         for i in range(self.dec_layers):
             l = i % self.num_feature_levels
             # cross-attention first (Mask2Former ordering)
-            attn = MultiheadAttention(
+            attn = AttnModule(
                 embed_dim=E, num_heads=self.nheads,
                 meanshift=self.use_meanshift_cross_attention,
                 kappa=self.kappa, use_pallas=self.use_pallas, dtype=dt,
@@ -369,7 +388,7 @@ class MeanShiftDecoder(nn.Module):
             output = ln(f"cross_norm_{i}")(output + tgt2)
 
             qk = output + qpos
-            tgt2 = MultiheadAttention(
+            tgt2 = AttnModule(
                 embed_dim=E, num_heads=self.nheads,
                 meanshift=self.use_meanshift_self_attention,
                 kappa=self.kappa, dtype=dt, name=f"self_attn_{i}")(qk, qk, output)

@@ -110,3 +110,119 @@ def meanshift_attention(params: MhaParams, query, key, value, num_heads: int,
     out = proj(out, params.out_kernel, params.out_bias)
     # average attention weights over heads (need_weights path, :427-430)
     return out, attn.mean(axis=1)
+
+
+LOG2E = 1.4426950408889634
+
+
+def chunked_masked_meanshift_attention(params: MhaParams, query, key, value,
+                                       num_heads: int, mask_logits,
+                                       kappa: float = KAPPA,
+                                       chunk_size: int = 8192,
+                                       precision=jax.lax.Precision.HIGHEST):
+    """Flash-style masked hypersphere attention for TRAINING at large K.
+
+    The dense formulation holds [B, H, Q, K] attention weights (1.9 GB bf16 at
+    the flagship 480x640 shapes) plus k/v projections per layer - the full-res
+    train step exceeds HBM. This scans over K chunks with an online-max
+    softmax (standard flash rescaling) and checkpoints the per-chunk body, so
+    fwd+bwd memory is O(chunk) instead of O(K). Differentiable end to end; the
+    attention mask (mask_logits < 0, all-masked-row guard, ref:
+    meanshiftformer_transformer_decoder.py:970,1028-1033) is derived per chunk
+    and detached like the reference.
+
+    Unlike the inference kernel (ops/fused_cross_attention.py) this does NOT
+    use the fixed-max exp2(c*s - c) trick: at random init all logits sit far
+    below kappa, the fixed-max softmax sums are ~1e-20, and their backward
+    produces ~1e+20-scale intermediates that overflow the optimizer's
+    global-grad-norm computation to inf (observed: loss -> nan after the first
+    update). The running max keeps den >= 1 and gradients well-conditioned;
+    softmax shift invariance makes the result identical.
+
+    query/key/value: [B, L, E]; mask_logits: [B, Q, K] raw (detached) logits.
+    Returns out [B, Q, E] (no attention weights).
+    """
+    dt = query.dtype
+    B, Q, E = query.shape
+    K = key.shape[1]
+    H = num_heads
+    D = E // H
+    proj = lambda x, w, b: (
+        jnp.einsum("ble,ef->blf", x, w.astype(dt), precision=precision)
+        + b.astype(dt))
+    qn = l2_normalize(split_heads(proj(query, params.q_kernel, params.q_bias), H))
+
+    c = kappa * LOG2E
+    NEG = jnp.float32(-1e30)   # finite -inf sentinel: exp2(c*(s-NEG)) clamped below
+    nc = -(-K // chunk_size)
+    pad = nc * chunk_size - K
+    if pad:
+        key = jnp.pad(key, ((0, 0), (0, pad), (0, 0)))
+        value = jnp.pad(value, ((0, 0), (0, pad), (0, 0)))
+        # padded keys get mask_logit < 0 AND are excluded from the guard sums
+        mask_logits = jnp.pad(mask_logits, ((0, 0), (0, 0), (0, pad)),
+                              constant_values=-1.0)
+    Kp = K + pad
+    kx = key.reshape(B, nc, chunk_size, E).transpose(1, 0, 2, 3)
+    vx = value.reshape(B, nc, chunk_size, E).transpose(1, 0, 2, 3)
+    mx = mask_logits.reshape(B, Q, nc, chunk_size).transpose(2, 0, 1, 3)
+    if pad:
+        valid = (jnp.arange(Kp) < K).astype(jnp.float32)
+        validx = jnp.broadcast_to(valid.reshape(nc, 1, 1, chunk_size),
+                                  (nc, 1, 1, chunk_size))
+    else:
+        validx = jnp.ones((nc, 1, 1, 1), jnp.float32)
+
+    def safe_normalize(x):
+        # rsqrt-form normalize (the inference kernel's formula): finite
+        # gradient at x == 0, unlike norm/max(norm, eps) whose backward is
+        # 0/0 = nan there. The K padding appends all-zero keys and k_bias
+        # initializes to zeros, so zero k rows DO occur; their weights are
+        # zeroed but nan * 0 = nan would still poison dk.
+        sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x.astype(jnp.float32) * jax.lax.rsqrt(sq + 1e-24)).astype(x.dtype)
+
+    def body(carry, xs):
+        accm, lm, mm, accu, lu, mu = carry
+        k_c, v_c, m_c, valid_c = xs
+        kh = safe_normalize(split_heads(proj(k_c, params.k_kernel,
+                                             params.k_bias), H))   # [B,H,c,D]
+        vh = split_heads(proj(v_c, params.v_kernel, params.v_bias), H)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qn, kh,
+                       precision=precision).astype(jnp.float32)
+        mask_f = (jax.lax.stop_gradient(m_c) >= 0).astype(jnp.float32)[:, None]
+        valid_f = valid_c                                         # [1,1,c] bc
+        su = jnp.where(valid_f > 0, s, NEG)
+        sm = jnp.where(mask_f * valid_f > 0, s, NEG)
+        # online max update + rescale (alpha <= 1 always; NEG-NEG -> alpha 1)
+        mu_new = jnp.maximum(mu, jnp.max(su, axis=-1, keepdims=True))
+        mm_new = jnp.maximum(mm, jnp.max(sm, axis=-1, keepdims=True))
+        alpha_u = jnp.exp2(jnp.minimum(c * (mu - mu_new), 0.0))
+        alpha_m = jnp.exp2(jnp.minimum(c * (mm - mm_new), 0.0))
+        # p relative to the running max; exponent clamped <= 0 so the NEG
+        # sentinel rows yield exactly 0 instead of inf*0
+        p_u = jnp.exp2(jnp.minimum(c * (su - mu_new), 0.0)) * valid_f
+        p_m = jnp.exp2(jnp.minimum(c * (sm - mm_new), 0.0)) * mask_f * valid_f
+        # pv in the model dtype (matches the dense core's attn.astype(dt))
+        accm = accm * alpha_m + jnp.einsum(
+            "bhqk,bhkd->bhqd", p_m.astype(dt), vh,
+            precision=precision).astype(jnp.float32)
+        accu = accu * alpha_u + jnp.einsum(
+            "bhqk,bhkd->bhqd", p_u.astype(dt), vh,
+            precision=precision).astype(jnp.float32)
+        lm = lm * alpha_m + jnp.sum(p_m, axis=-1, keepdims=True)
+        lu = lu * alpha_u + jnp.sum(p_u, axis=-1, keepdims=True)
+        return (accm, lm, mm_new, accu, lu, mu_new), None
+
+    z = jnp.zeros((B, H, Q, D), jnp.float32)
+    zl = jnp.zeros((B, H, Q, 1), jnp.float32)
+    zm = jnp.full((B, H, Q, 1), NEG)
+    (accm, lm, _, accu, lu, _), _ = jax.lax.scan(
+        jax.checkpoint(body), (z, zl, zm, z, zl, zm), (kx, vx, mx, validx))
+
+    guard = lm <= 0.0          # all keys masked -> attend to everything
+    num = jnp.where(guard, accu, accm)
+    den = jnp.where(guard, lu, lm)
+    out = (num / jnp.maximum(den, 1e-30)).astype(dt)
+    out = merge_heads(l2_normalize(out))
+    return proj(out, params.out_kernel, params.out_bias)
