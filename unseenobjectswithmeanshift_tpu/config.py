@@ -166,6 +166,9 @@ class Config:
     use_depth: bool = True            # MODEL.USE_DEPTH
     use_other_backbone: bool = False  # MODEL.USE_OTHER_BACKBONE (ResNet50 config)
     dtype: str = "float32"            # compute dtype: float32 | bfloat16
+    train_remat_attention: bool = True  # checkpoint decoder attention modules in
+    # training (recompute in backward; the chunked large-K path checkpoints its
+    # own scan body regardless)
     backbone: BackboneConfig = field(default_factory=BackboneConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     pixel_decoder: PixelDecoderConfig = field(default_factory=PixelDecoderConfig)

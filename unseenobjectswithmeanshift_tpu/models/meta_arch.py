@@ -106,7 +106,8 @@ class MSMFormer(nn.Module):
             use_meanshift_self_attention=d.use_meanshift_self_attention,
             disable_attention_mask=d.disable_attention_mask,
             decoder_block_norm=d.decoder_block_norm, kappa=d.kappa,
-            use_pallas=use_pallas, materialize_masks=not light, remat=train,
+            use_pallas=use_pallas, materialize_masks=not light,
+            remat=train and c.train_remat_attention,
             dtype=self.dtype, name="predictor")
         outputs = decoder(multi_scale, mask_features, present=present)
 
@@ -171,7 +172,8 @@ class MeanShiftMaskFormerR50(nn.Module):
             use_meanshift_self_attention=d.use_meanshift_self_attention,
             disable_attention_mask=d.disable_attention_mask,
             decoder_block_norm=d.decoder_block_norm, kappa=d.kappa,
-            use_pallas=use_pallas, remat=train, dtype=self.dtype,
+            use_pallas=use_pallas, remat=train and c.train_remat_attention,
+            dtype=self.dtype,
             name="predictor")
         outputs = decoder(multi_scale, mask_features)
 
