@@ -26,7 +26,7 @@ from unseenobjectswithmeanshift_tpu.pipeline.two_stage import TwoStagePredictor
 
 DEMO_DIR = "/root/reference/data/demo"
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "demo_labels.npz")
-FRAMES = ["000000", "000003", "000007"]
+FRAMES = [f"{i:06d}" for i in range(9)]
 
 
 def _tiny_cfg():
