@@ -199,3 +199,37 @@ def test_embedding_loss_matches_torch_oracle(rng):
                           k_max=6, alpha=0.02, delta=0.5)
     for m, r in zip(mine, ref):
         assert abs(float(m) - r) < 1e-4, (float(m), r)
+
+
+def test_criterion_factored_matches_dense(rng):
+    """Scoring with (mask_embed, mask_features) must match scoring the
+    materialized pred_masks = mask_embed @ mask_features (linearity of
+    bilinear point sampling)."""
+    import jax
+    from unseenobjectswithmeanshift_tpu.losses.criterion import SetCriterion
+
+    B, Q, G, H, W, C = 2, 8, 3, 32, 40, 16
+    me = jnp.asarray(rng.randn(B, Q, C).astype(np.float32) * 0.3)
+    mf = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32) * 0.3)
+    pred_masks = jnp.einsum("bqc,bhwc->bqhw", me, mf)
+    pred_logits = jnp.asarray(rng.randn(B, Q, 3).astype(np.float32))
+    gt_masks = np.zeros((B, G, H, W), np.float32)
+    gt_masks[:, 0, 4:16, 4:20] = 1
+    gt_masks[:, 1, 18:30, 22:38] = 1
+    gt_masks = jnp.asarray(gt_masks)
+    gt_labels = jnp.ones((B, G), jnp.int32)
+    gt_valid = jnp.asarray(np.tile([True, True, False], (B, 1)))
+
+    crit = SetCriterion(num_points=64, deep_supervision=False)
+    key = jax.random.PRNGKey(0)
+    total_d, losses_d = crit(key, {"pred_logits": pred_logits,
+                                   "pred_masks": pred_masks},
+                             gt_labels, gt_masks, gt_valid)
+    total_f, losses_f = crit(key, {"pred_logits": pred_logits,
+                                   "pred_masks": pred_masks,
+                                   "mask_embed": me, "mask_features": mf},
+                             gt_labels, gt_masks, gt_valid)
+    np.testing.assert_allclose(float(total_f), float(total_d), rtol=2e-3)
+    for k in losses_d:
+        np.testing.assert_allclose(float(losses_f[k]), float(losses_d[k]),
+                                   rtol=5e-3, atol=1e-4)

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 
 from .matcher import hungarian_match
 from .point_sample import (
-    point_sample, get_uncertain_point_coords_with_randomness,
+    point_sample, point_sample_factored,
+    get_uncertain_point_coords_with_randomness,
+    get_uncertain_point_coords_factored,
 )
 
 
@@ -66,21 +68,38 @@ def dice_loss(point_logits, point_labels, pair_valid, num_masks):
 
 def loss_masks(rng, pred_masks, gt_masks, gt_valid, matched_query, num_masks,
                num_points: int, oversample_ratio: float,
-               importance_sample_ratio: float):
+               importance_sample_ratio: float, mask_embed=None,
+               mask_features=None):
     """Point-sampled mask losses over matched pairs (ref: criterion.py:140-190).
 
-    pred_masks [B, Q, H, W]; gt_masks [B, G, Hg, Wg]; matched_query [B, G].
+    Predicted masks either materialized (pred_masks [B, Q, H, W]) or FACTORED
+    (mask_embed [B, Q, C] + mask_features [B, H, W, C]); gt_masks [B, G, Hg, Wg];
+    matched_query [B, G]. The factored form samples mask_features rows and
+    applies the matched mask_embed afterwards (linear => identical results;
+    per-pair map gathers dominated the train step on the TPU).
     """
-    B, Q = pred_masks.shape[:2]
+    factored = pred_masks is None
+    B, Q = (mask_embed.shape[:2] if factored else pred_masks.shape[:2])
     G = gt_masks.shape[1]
 
-    # gather matched predictions: [B, G, H, W]
     mq = jnp.clip(matched_query, 0, Q - 1)
-    src = jnp.take_along_axis(pred_masks, mq[:, :, None, None], axis=1)
-    src = src.reshape(B * G, *src.shape[2:]).astype(jnp.float32)
     tgt = gt_masks.reshape(B * G, *gt_masks.shape[2:]).astype(jnp.float32)
     pair_valid = gt_valid.reshape(B * G).astype(jnp.float32)
 
+    if factored:
+        # materialize only the G MATCHED pair maps (me_g @ mask_features,
+        # [B, G, H, W] ~ 59 MB) instead of the full-Q per-layer maps; per-pair
+        # coords then sample exactly like the dense path. (Sampling feature
+        # ROWS per pair instead would build [B, G, S, C] fp32 temporaries -
+        # 1.9 GB per head, OOM.)
+        me_g = jnp.take_along_axis(mask_embed, mq[:, :, None], axis=1)  # [B,G,C]
+        src = jnp.einsum("bgc,bhwc->bghw", me_g.astype(jnp.float32),
+                         mask_features.astype(jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
+        src = src.reshape(B * G, *src.shape[2:])
+    else:
+        src = jnp.take_along_axis(pred_masks, mq[:, :, None, None], axis=1)
+        src = src.reshape(B * G, *src.shape[2:]).astype(jnp.float32)
     coords = jax.lax.stop_gradient(get_uncertain_point_coords_with_randomness(
         rng, jax.lax.stop_gradient(src), num_points, oversample_ratio,
         importance_sample_ratio))
@@ -134,20 +153,29 @@ class SetCriterion:
         if self.deep_supervision and "aux_outputs" in outputs:
             heads = heads + list(outputs["aux_outputs"])
 
+        # factored scoring: heads carrying mask_embed are scored against the
+        # shared mask_features without materializing/sampling per-query maps
+        mask_features = outputs.get("mask_features")
+
         losses = {}
         total = 0.0
         for i, head in enumerate(heads):
             rng, k_match, k_pts = jax.random.split(rng, 3)
+            factored = mask_features is not None and "mask_embed" in head
+            pm = None if factored else head["pred_masks"]
+            me = head.get("mask_embed") if factored else None
             matched = hungarian_match(
-                k_match, head["pred_logits"], head["pred_masks"], gt_labels,
+                k_match, head["pred_logits"], pm, gt_labels,
                 gt_masks, gt_valid, num_points=self.num_points,
                 cost_class=self.class_weight, cost_mask=self.mask_weight,
-                cost_dice=self.dice_weight)
+                cost_dice=self.dice_weight, mask_embed=me,
+                mask_features=mask_features if factored else None)
             l_ce = loss_labels(head["pred_logits"], gt_labels, gt_valid, matched,
                                self.num_classes, self.eos_coef)
-            lm = loss_masks(k_pts, head["pred_masks"], gt_masks, gt_valid, matched,
+            lm = loss_masks(k_pts, pm, gt_masks, gt_valid, matched,
                             num_masks, self.num_points, self.oversample_ratio,
-                            self.importance_sample_ratio)
+                            self.importance_sample_ratio, mask_embed=me,
+                            mask_features=mask_features if factored else None)
             suffix = "" if i == 0 else f"_{i - 1}"
             losses[f"loss_ce{suffix}"] = l_ce
             losses[f"loss_mask{suffix}"] = lm["loss_mask"]

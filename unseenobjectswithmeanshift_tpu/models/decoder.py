@@ -325,17 +325,22 @@ class MeanShiftDecoder(nn.Module):
                          dtype=dt, name="mask_embed")
 
         def prediction_heads(output, attn_mask_target_size):
+            """-> (class logits, full-res mask logits | None, attention-mask
+            aux, mask_embed). mask_embed is returned so the criterion can score
+            masks in FACTORED form (me x mask_features) - the materialized
+            outputs_mask then survives only under stop_gradient (the attention
+            mask) and costs no backward memory/compute."""
             d = decoder_norm(output)
             outputs_class = class_embed(d)
             me = mask_embed(d)
             if fused:
                 # the kernel computes mask logits per tile from (me, mask
                 # features); nothing full-resolution is materialized per layer
-                return outputs_class, None, me
+                return outputs_class, None, me, me
             outputs_mask = jnp.einsum("bqc,bhwc->bqhw", me, mask_features,
                                       precision=prec)
             if self.disable_attention_mask:
-                return outputs_class, outputs_mask, None
+                return outputs_class, outputs_mask, None, me
             # raw mask logits at the next level's size; the attention mask is
             # sigmoid(m) < 0.5 <=> m < 0 (resolved in the attention op / kernel)
             m = outputs_mask
@@ -343,7 +348,7 @@ class MeanShiftDecoder(nn.Module):
                 m = resize_bilinear(m[..., None], attn_mask_target_size,
                                     align_corners=False)[..., 0]
             mask_logits = jax.lax.stop_gradient(m).reshape(B, Q, -1)
-            return outputs_class, outputs_mask, mask_logits
+            return outputs_class, outputs_mask, mask_logits, me
 
         if self.use_meanshift_seeds:
             # initialize queries from farthest-point seeds of the last feature
@@ -363,10 +368,11 @@ class MeanShiftDecoder(nn.Module):
 
         AttnModule = nn.remat(MultiheadAttention) if self.remat else MultiheadAttention
 
-        predictions_class, predictions_mask = [], []
-        outputs_class, outputs_mask, head_aux = prediction_heads(output, sizes[0])
+        predictions_class, predictions_mask, predictions_embed = [], [], []
+        outputs_class, outputs_mask, head_aux, me = prediction_heads(output, sizes[0])
         predictions_class.append(outputs_class)
         predictions_mask.append(outputs_mask)
+        predictions_embed.append(me)
 
         for i in range(self.dec_layers):
             l = i % self.num_feature_levels
@@ -404,10 +410,11 @@ class MeanShiftDecoder(nn.Module):
             if self.decoder_block_norm:
                 output = l2_normalize(output, axis=-1)
 
-            outputs_class, outputs_mask, head_aux = prediction_heads(
+            outputs_class, outputs_mask, head_aux, me = prediction_heads(
                 output, sizes[(i + 1) % self.num_feature_levels])
             predictions_class.append(outputs_class)
             predictions_mask.append(outputs_mask)
+            predictions_embed.append(me)
 
         if fused:
             # Final-layer masks only; the per-layer (aux) full-resolution mask
@@ -427,9 +434,11 @@ class MeanShiftDecoder(nn.Module):
         return {
             "pred_logits": predictions_class[-1],
             "pred_masks": predictions_mask[-1],
+            "mask_embed": predictions_embed[-1],
             "aux_outputs": [
-                {"pred_logits": c, "pred_masks": m}
-                for c, m in zip(predictions_class[:-1], predictions_mask[:-1])
+                {"pred_logits": c, "pred_masks": m, "mask_embed": e}
+                for c, m, e in zip(predictions_class[:-1], predictions_mask[:-1],
+                                   predictions_embed[:-1])
             ],
         }
 

@@ -114,6 +114,11 @@ class MSMFormer(nn.Module):
         if light and "mask_embed" in outputs and "pred_masks" not in outputs:
             outputs["mask_features"] = mask_features
             return outputs
+        if train:
+            # the criterion scores masks in factored form (mask_embed x
+            # mask_features); the materialized per-layer masks then survive
+            # only as the detached attention masks
+            outputs["mask_features"] = mask_features
 
         if not train:
             # upsample masks to the padded input size (identity for the UCN config,
@@ -177,6 +182,8 @@ class MeanShiftMaskFormerR50(nn.Module):
             name="predictor")
         outputs = decoder(multi_scale, mask_features)
 
+        if train:
+            outputs["mask_features"] = mask_features
         if not train:
             hw = (image.shape[1], image.shape[2])
             if outputs["pred_masks"].shape[-2:] != hw:
