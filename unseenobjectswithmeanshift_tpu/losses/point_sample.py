@@ -21,26 +21,36 @@ def point_sample(masks, points):
     masks: [N, H, W]; points: [N, P, 2] with (x, y) in [0, 1].
     Returns [N, P]. grid_sample align_corners=False semantics with zero padding:
     src = p * size - 0.5, bilinear, out-of-range neighbours contribute zero.
+
+    The four bilinear taps are gathered as ONE 4-float window row from a
+    zero-padded window tensor (built once per map) instead of four scattered
+    per-element gathers - per-element gathers dominate the TPU train step, and
+    a 16-byte contiguous row costs the same as a 4-byte element. Padding keeps
+    the zero-contribution semantics of out-of-range neighbours exactly:
+    src coords lie in [-0.5, size - 0.5], so the +1-shifted anchor always lands
+    inside the padded map and no range masks are needed.
     """
     N, H, W = masks.shape
+    # window tensor: win[a, b] = [mz[a, b], mz[a, b+1], mz[a+1, b], mz[a+1, b+1]]
+    # with mz the map zero-padded by one row/col on every side (anchor = y0+1,
+    # x0+1 in padded coords)
+    mz = jnp.pad(masks, ((0, 0), (1, 1), (1, 1)))
+    win = jnp.stack([mz[:, :-1, :-1], mz[:, :-1, 1:],
+                     mz[:, 1:, :-1], mz[:, 1:, 1:]], axis=-1)  # [N, H+1, W+1, 4]
 
-    def sample_one(m, pts):
+    def sample_one(w4, pts):
         fx = pts[:, 0] * W - 0.5
         fy = pts[:, 1] * H - 0.5
         x0 = jnp.floor(fx).astype(jnp.int32)
         y0 = jnp.floor(fy).astype(jnp.int32)
         wx = fx - x0
         wy = fy - y0
+        taps = w4[y0 + 1, x0 + 1]                               # [P, 4]
+        wgt = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                         wy * (1 - wx), wy * wx], axis=-1)       # [P, 4]
+        return (taps * wgt).sum(-1)
 
-        def tap(yi, xi, w):
-            inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-            v = m[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
-            return jnp.where(inb, v, 0.0) * w
-
-        return (tap(y0, x0, (1 - wy) * (1 - wx)) + tap(y0, x0 + 1, (1 - wy) * wx)
-                + tap(y0 + 1, x0, wy * (1 - wx)) + tap(y0 + 1, x0 + 1, wy * wx))
-
-    return jax.vmap(sample_one)(masks, points)
+    return jax.vmap(sample_one)(win, points)
 
 
 def calculate_uncertainty(logits):
