@@ -1,0 +1,63 @@
+"""UCN (legacy embedding + mean-shift clustering) pipeline throughput on the
+TPU - pipelined timing, bucketed two-graph path like bench.py."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from unseenobjectswithmeanshift_tpu.config import get_config
+from unseenobjectswithmeanshift_tpu.pipeline.ucn import UCNPredictor
+
+
+def main():
+    cfg = get_config("tabletop_pretrained")
+    cfg_crop = get_config("crop_tabletop_pretrained")
+    B, H, W = 4, 480, 640
+    pred = UCNPredictor(cfg, cfg_crop, dtype=jnp.bfloat16)
+    v1, v2 = pred.init(jax.random.PRNGKey(0), (H, W))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    xyz = jnp.asarray((rng.rand(B, H, W, 3) * 2).astype(np.float32))
+
+    s1 = jax.jit(pred._stage1_and_crops, static_argnames=("depth_threshold",))
+    s2 = jax.jit(pred._stage2_refine, static_argnames=("P",))
+    chk = jax.jit(lambda r: jnp.sum(r))
+
+    def one_step(prev=None):
+        out = s1(v1, img, xyz, depth_threshold=0.5, first_seed_idx=0)
+        if prev is None:
+            return out, None
+        labels, crops, perm, count = prev
+        n = int(count)
+        P = next(b for b in pred._buckets(perm.shape[0]) if b >= n)
+        return out, (s2(v2, labels, crops, perm, 0, P=P), P)
+
+    w, _ = one_step()
+    _, (refined, P_used) = one_step(w)
+    labels = np.asarray(refined)
+    iters = 15
+    t0 = time.perf_counter()
+    prev, _ = one_step()
+    last = None
+    for _ in range(iters - 1):
+        prev, last = one_step(prev)
+    labels_f, crops_f, perm_f, count_f = prev
+    P = next(b for b in pred._buckets(perm_f.shape[0]) if b >= int(count_f))
+    np.asarray(chk(s2(v2, labels_f, crops_f, perm_f, 0, P=P)))
+    dt = (time.perf_counter() - t0) / iters
+    n_inst = [len([v for v in np.unique(labels[i]) if v >= 1]) for i in range(B)]
+    print(f"UCN two-stage: {dt*1000:.1f} ms/batch ({B/dt:.2f} img/s) "
+          f"P={P_used}, instances {n_inst}")
+
+
+if __name__ == "__main__":
+    main()
