@@ -23,13 +23,17 @@ def main(argv=None):
     p.add_argument("--dataset", required=True,
                    help="registry name, e.g. osd_object / ocid_object / tabletop")
     p.add_argument("--root", required=True)
-    p.add_argument("--split", default="test")
+    p.add_argument("--split", default=None,
+                   help="image_set for datasets that take one (tabletop)")
     p.add_argument("--limit", type=int, default=0, help="0 = whole dataset")
     args = p.parse_args(argv)
 
     from ..data.datasets import get_dataset
 
-    dataset = get_dataset(args.dataset, args.root, args.split)
+    # only TableTopObject-style datasets take an image_set; OCID/OSD/UOAIS
+    # readers enumerate their single split from disk
+    kwargs = {"image_set": args.split} if args.split else {}
+    dataset = get_dataset(args.dataset, args.root, **kwargs)
     n = len(dataset)
     if args.limit:
         n = min(n, args.limit)

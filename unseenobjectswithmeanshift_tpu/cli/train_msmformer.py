@@ -80,8 +80,11 @@ def main(argv=None):
         from ..utils.evaluation import multilabel_metrics, aggregate_metrics, \
             print_metrics
 
+        # evaluation runs on CLEAN samples (no chromatic/depth-noise
+        # augmentation - the reference's eval mappers don't augment either)
         val = TableTopObject(args.root, "test", syn_crop=args.crop,
-                             crop_size=224, seed=1)
+                             crop_size=224, seed=1, use_augmentation=False,
+                             chromatic=False, add_noise=False)
         n_eval = min(args.eval_samples, len(val))
 
         def _labels(variables, img, xyz):

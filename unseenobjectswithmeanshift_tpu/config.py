@@ -143,6 +143,8 @@ class SolverConfig:
     backbone_multiplier: float = 0.1
     clip_gradients: float = 0.01      # full-model clip norm
     warmup_iters: int = 10            # SOLVER.WARMUP_ITERS (Base-COCO...yaml:25)
+    warmup_factor: float = 1.0        # SOLVER.WARMUP_FACTOR (:24) - 1.0 = no-op,
+    # matching every shipped reference config (detectron2 semantics)
     max_iter: int = 71000
     ims_per_batch: int = 4
     checkpoint_period: int = 17500
@@ -252,7 +254,8 @@ def uoais_resnet50() -> Config:
     cfg.dataset_train = "uoais_object"
     cfg.test.detections_per_image = 40
     cfg.test.max_instances = 40
-    cfg.solver.max_iter = 90000
+    cfg.solver.max_iter = 90100        # UOAIS_ResNet50.yaml:6
+    cfg.solver.checkpoint_period = 5624  # :7
     return cfg
 
 
@@ -263,7 +266,8 @@ def uoais_ucn() -> Config:
     cfg.dataset_train = "uoais_object"
     cfg.test.detections_per_image = 40
     cfg.test.max_instances = 40
-    cfg.solver.max_iter = 90000
+    cfg.solver.max_iter = 90000        # UOAIS_UCN.yaml:6
+    cfg.solver.checkpoint_period = 5624  # :7
     return cfg
 
 
@@ -304,10 +308,13 @@ def mixture_resnet50() -> Config:
 
 
 def crop_mixture_resnet50() -> Config:
-    """ref: configs/crop_mixture_ResNet50.yaml."""
+    """ref: configs/crop_mixture_ResNet50.yaml (MAX_ITER 1000 - a short
+    crop-network fine-tune, not the full 71k schedule)."""
     cfg = _resnet50_base("crop_mixture_resnet50")
     cfg.name = "crop_mixture_resnet50"
     cfg.dataset_train = "mixture_object"
+    cfg.solver.max_iter = 1000          # crop_mixture_ResNet50.yaml:15
+    cfg.solver.checkpoint_period = 160  # :16
     return cfg
 
 

@@ -215,3 +215,45 @@ def match_label_crop(labels_crop, stage1_mask_crop, rois, depth_crop, present,
     refined = jnp.zeros((H, W), jnp.int32)
     refined = jax.lax.fori_loop(0, T, paste, refined)
     return refined
+
+
+# ---------------------------------------------------------------------------
+# bucketed crop compaction (shared by TwoStagePredictor / UCNPredictor)
+# ---------------------------------------------------------------------------
+
+def crop_budget_buckets(BT: int):
+    """Crop-budget buckets: the crop network compiles once per bucket and the
+    smallest bucket >= the actual crop count runs. Multiples of 8 keep the
+    bucket slack under ~1/4 of the crop cost; typical OCID images have < 10
+    instances, so most steps run the small graphs."""
+    return sorted({min(b, BT) for b in range(8, BT + 8, 8)} | {BT})
+
+
+def pick_crop_budget(BT: int, count: int) -> int:
+    return next(b for b in crop_budget_buckets(BT) if b >= count)
+
+
+def compact_present(present):
+    """present: [B, T] bool -> (perm [B*T] int32 putting present slots first,
+    stable, so perm[:P] covers every present crop whenever P >= count; count)."""
+    flat = present.reshape(-1)
+    perm = jnp.argsort(~flat, stable=True).astype(jnp.int32)
+    return perm, jnp.sum(flat.astype(jnp.int32))
+
+
+def gather_compacted(crops: Crops, idx):
+    """Select the compacted crop slots: rgb/xyz/present at flat indices idx."""
+    B, T = crops.present.shape
+    S = crops.rgb.shape[2]
+    rgb = crops.rgb.reshape(B * T, S, S, 3)[idx]
+    dep = (crops.xyz.reshape(B * T, S, S, 3)[idx]
+           if crops.xyz is not None else None)
+    present = crops.present.reshape(B * T)[idx]
+    return rgb, dep, present
+
+
+def scatter_crop_labels(labels_crop_p, idx, B: int, T: int):
+    """Scatter per-crop label images back to the [B, T, S, S] slot layout."""
+    S = labels_crop_p.shape[-1]
+    out = jnp.zeros((B * T, S, S), labels_crop_p.dtype)
+    return out.at[idx].set(labels_crop_p).reshape(B, T, S, S)

@@ -33,7 +33,10 @@ from ..models.meta_arch import MSMFormer
 from .postprocess import (
     instance_inference, get_confident_instances, combine_masks, filter_labels_depth,
 )
-from .refine import crop_rois, match_label_crop
+from .refine import (
+    crop_rois, match_label_crop, crop_budget_buckets, pick_crop_budget,
+    compact_present, gather_compacted, scatter_crop_labels,
+)
 
 
 def stage1_labels(cfg: Config, outputs, xyz, image_hw, osd: bool = False):
@@ -89,12 +92,7 @@ class TwoStagePredictor:
         return v1, v2
 
     def _buckets(self, BT: int):
-        """Crop-budget buckets: the crop network compiles once per bucket and the
-        smallest bucket >= the actual crop count runs. Multiples of 8 keep the
-        bucket slack under ~1/4 of the crop cost (each bucket is one extra
-        compile, amortized over the run); typical OCID images have < 10
-        instances, so most steps run the small graphs."""
-        return sorted({min(b, BT) for b in range(8, BT + 8, 8)} | {BT})
+        return crop_budget_buckets(BT)
 
     def __call__(self, variables, variables_crop, image, xyz=None, osd: bool = False,
                  refine: bool = True):
@@ -116,8 +114,7 @@ class TwoStagePredictor:
         n = int(count)
         if n == 0:
             return labels, labels
-        BT = perm.shape[0]
-        P = next(b for b in self._buckets(BT) if b >= n)
+        P = pick_crop_budget(perm.shape[0], n)
         refined = self._s2_fn(variables_crop, labels, crops, perm, P=P)
         return labels, refined
 
@@ -226,9 +223,7 @@ class TwoStagePredictor:
         """
         labels = self._stage1_labels_batch(variables, image, xyz, osd)
         crops = self._extract_crops(image, labels, xyz)
-        present_flat = crops.present.reshape(-1)
-        perm = jnp.argsort(~present_flat, stable=True).astype(jnp.int32)
-        count = jnp.sum(present_flat.astype(jnp.int32))
+        perm, count = compact_present(crops.present)
         return labels, crops, perm, count
 
     def _stage2_refine(self, variables_crop, labels, crops, perm, P: int):
@@ -238,16 +233,10 @@ class TwoStagePredictor:
         compute is independent, and absent slots' label images are ignored by
         match_label_crop's present gating."""
         B, T = crops.present.shape
-        S = self.cfg.test.crop_size
         idx = perm[:P]
-        rgb = crops.rgb.reshape(B * T, S, S, 3)[idx]
-        dep = (crops.xyz.reshape(B * T, S, S, 3)[idx]
-               if crops.xyz is not None else None)
-        present = crops.present.reshape(B * T)[idx]
+        rgb, dep, present = gather_compacted(crops, idx)
         labels_crop_p = self._crop_labels(variables_crop, rgb, dep, present)
-        labels_crop = jnp.zeros((B * T, S, S), labels_crop_p.dtype)
-        labels_crop = labels_crop.at[idx].set(labels_crop_p)
-        labels_crop = labels_crop.reshape(B, T, S, S)
+        labels_crop = scatter_crop_labels(labels_crop_p, idx, B, T)
         return self._paste_back(labels, crops, labels_crop)
 
     def _forward(self, variables, variables_crop, image, xyz, osd: bool,

@@ -27,7 +27,10 @@ from ..config import Config
 from ..models.segnet import build_segnet
 from ..ops.mean_shift import mean_shift_smart_init
 from .postprocess import filter_labels_depth
-from .refine import crop_rois, match_label_crop
+from .refine import (
+    crop_rois, match_label_crop, crop_budget_buckets, pick_crop_budget,
+    compact_present, gather_compacted, scatter_crop_labels,
+)
 
 
 class UCNPredictor:
@@ -62,7 +65,7 @@ class UCNPredictor:
         return v1, v2
 
     def _buckets(self, BT: int):
-        return sorted({min(b, BT) for b in range(8, BT + 8, 8)} | {BT})
+        return crop_budget_buckets(BT)
 
     def __call__(self, variables, variables_crop, image, xyz=None,
                  depth_threshold: float = 0.8, refine: bool = True,
@@ -84,7 +87,7 @@ class UCNPredictor:
         n = int(count)
         if n == 0:
             return labels, labels
-        P = next(b for b in self._buckets(perm.shape[0]) if b >= n)
+        P = pick_crop_budget(perm.shape[0], n)
         refined = self._s2_fn(variables_crop, labels, crops, perm,
                               first_seed_idx, P=P)
         return labels, refined
@@ -94,24 +97,18 @@ class UCNPredictor:
         labels = self._stage1_labels(variables, image, xyz, depth_threshold,
                                      first_seed_idx)
         crops = self._extract_crops(image, labels, xyz)
-        present_flat = crops.present.reshape(-1)
-        perm = jnp.argsort(~present_flat, stable=True).astype(jnp.int32)
-        count = jnp.sum(present_flat.astype(jnp.int32))
+        perm, count = compact_present(crops.present)
         return labels, crops, perm, count
 
     def _stage2_refine(self, variables_crop, labels, crops, perm,
                        first_seed_idx, P: int):
         B, T = crops.present.shape
-        S = self.cfg.test.crop_size
         idx = perm[:P]
-        rgb = crops.rgb.reshape(B * T, S, S, 3)[idx]
-        dep = (crops.xyz.reshape(B * T, S, S, 3)[idx]
-               if crops.xyz is not None else None)
+        rgb, dep, _present = gather_compacted(crops, idx)
         labels_crop_p = self._crop_labels(variables_crop, rgb, dep,
                                           first_seed_idx)
-        labels_crop = jnp.zeros((B * T, S, S), labels_crop_p.dtype)
-        labels_crop = labels_crop.at[idx].set(labels_crop_p)
-        return self._paste_back(labels, crops, labels_crop.reshape(B, T, S, S))
+        labels_crop = scatter_crop_labels(labels_crop_p, idx, B, T)
+        return self._paste_back(labels, crops, labels_crop)
 
     def _stage1_labels(self, variables, image, xyz, depth_threshold: float,
                        first_seed_idx):

@@ -63,13 +63,17 @@ def make_optimizer(cfg: Config):
         return jax.tree_util.tree_map_with_path(
             lambda p, v: fn(tuple(getattr(k, "key", k) for k in p), v), params)
 
-    # linear LR warmup over WARMUP_ITERS (ref: Base-COCO-InstanceSegmentation
-    # .yaml:24-25, WARMUP_FACTOR 1.0 / WARMUP_ITERS 10, detectron2
-    # WarmupMultiStepLR; STEPS > MAX_ITER in all shipped configs so the decay
-    # milestones never fire - the schedule is warmup then constant)
-    schedule = optax.linear_schedule(
-        init_value=s.base_lr / max(s.warmup_iters, 1), end_value=s.base_lr,
-        transition_steps=s.warmup_iters)
+    # LR schedule (ref: Base-COCO-InstanceSegmentation.yaml:24-25 WARMUP_FACTOR
+    # 1.0 / WARMUP_ITERS 10, detectron2 WarmupMultiStepLR): with factor 1.0 the
+    # reference's warmup is a NO-OP - lr is base_lr from step 0 - and
+    # STEPS > MAX_ITER in all shipped configs so the decay milestones never
+    # fire. warmup_factor < 1 enables a real linear warmup.
+    if s.warmup_factor < 1.0:
+        schedule = optax.linear_schedule(
+            init_value=s.base_lr * s.warmup_factor, end_value=s.base_lr,
+            transition_steps=max(s.warmup_iters, 1))
+    else:
+        schedule = lambda step: s.base_lr
     tx = optax.chain(
         optax.clip_by_global_norm(s.clip_gradients),
         optax.scale_by_adam(),
