@@ -9,9 +9,11 @@ line makes the measured regime explicit), then ONE JSON line (last).
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md section 6).
 The driver's north star is >= 5x an H100 running the reference's batch-1,
-host-looped two-stage PyTorch pipeline; we estimate that reference at 5 img/s
-(its per-RoI host round-trips dominate), making the target 25 img/s/chip.
-vs_baseline = measured / 25.0.
+host-looped two-stage PyTorch pipeline. That reference is DERIVED at 8 img/s in
+BASELINE.md ("Derived H100 reference throughput": measured 642 GF stage-1 +
+118 GF/crop forwards, ~800-launch eager decoder overhead, and the serialized
+per-RoI host loop at ~8 instances/image), making the target 40 img/s/chip.
+vs_baseline = measured / 40.0.
 """
 
 import json
@@ -19,7 +21,7 @@ import time
 
 import numpy as np
 
-H100_REFERENCE_IMG_PER_SEC = 5.0
+H100_REFERENCE_IMG_PER_SEC = 8.0   # derived in BASELINE.md, round 2
 TARGET_MULTIPLIER = 5.0
 TARGET = H100_REFERENCE_IMG_PER_SEC * TARGET_MULTIPLIER
 
@@ -124,8 +126,10 @@ def main():
     # stage-1-only throughput: enqueue all, one sync
     np.asarray(chk(s1(v1, img, xyz, osd=False)[0]))
     t0 = time.perf_counter()
-    outs = [s1(v1, img, xyz, osd=False) for _ in range(iters)]
-    np.asarray(chk(outs[-1][0]))
+    out = None
+    for _ in range(iters):   # async dispatch enqueues all steps; keep only the
+        out = s1(v1, img, xyz, osd=False)   # last output alive (HBM)
+    np.asarray(chk(out[0]))
     dt_s1 = (time.perf_counter() - t0) / iters
 
     # occupancy: how many of the max_instances crop slots stage 2 actually ran

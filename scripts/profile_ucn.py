@@ -36,8 +36,8 @@ def main():
         out = s1(v1, img, xyz, depth_threshold=0.5, first_seed_idx=0)
         if prev is None:
             return out, None
-        labels, crops, perm, count = prev
-        n = int(count)
+        labels, crops, perm, counts = prev
+        n = int(np.asarray(counts)[0])   # [crop count, dropped clusters]
         P = next(b for b in pred._buckets(perm.shape[0]) if b >= n)
         return out, (s2(v2, labels, crops, perm, 0, P=P), P)
 
@@ -50,8 +50,8 @@ def main():
     last = None
     for _ in range(iters - 1):
         prev, last = one_step(prev)
-    labels_f, crops_f, perm_f, count_f = prev
-    P = next(b for b in pred._buckets(perm_f.shape[0]) if b >= int(count_f))
+    labels_f, crops_f, perm_f, counts_f = prev
+    P = next(b for b in pred._buckets(perm_f.shape[0]) if b >= int(np.asarray(counts_f)[0]))
     np.asarray(chk(s2(v2, labels_f, crops_f, perm_f, 0, P=P)))
     dt = (time.perf_counter() - t0) / iters
     n_inst = [len([v for v in np.unique(labels[i]) if v >= 1]) for i in range(B)]

@@ -73,10 +73,13 @@ def test_label_image_to_instances():
     lab = np.zeros((16, 16), np.int32)
     lab[2:6, 2:6] = 1
     lab[8:12, 8:12] = 3
-    masks, labels, valid = label_image_to_instances(lab, max_gt=4)
+    masks, labels, valid, renum = label_image_to_instances(lab, max_gt=4)
     assert valid.tolist() == [True, True, False, False]
     assert masks[0].sum() == 16 and masks[1].sum() == 16
     assert labels.tolist() == [1, 1, 1, 1]
+    # renumbered label image: contiguous cluster ids in slot order
+    assert (renum[2:6, 2:6] == 1).all() and (renum[8:12, 8:12] == 2).all()
+    assert set(np.unique(renum).tolist()) == {0, 1, 2}
 
 
 def test_batch_loader(tod_tree):

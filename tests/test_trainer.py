@@ -71,3 +71,53 @@ def test_train_step_multichip_mesh(rng):
     # params identical across devices after the update (gradient all-reduce)
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_embedding_loss_wired_into_trainer(rng):
+    """use_embedding_loss adds the metric-learning term to the MSMFormer train
+    step (ref: pretrained_meanshiftformer_model.py:316-325): the reported
+    embedding_loss must equal the directly-computed loss on the model's
+    normalized backbone features, and the total must include it weighted."""
+    from unseenobjectswithmeanshift_tpu.losses.embedding import embedding_loss
+
+    cfg = tiny_cfg()
+    cfg.loss.use_embedding_loss = True
+    cfg.loss.embedding_loss_weight = 2.0
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0), (32, 32), batch_size=2)
+    batch = make_batch(rng, 2)
+    # per-pixel instance labels consistent with the gt masks (slot i -> i+1)
+    lab = np.zeros((2, 32, 32), np.int32)
+    lab[:, 4:16, 4:16] = 1
+    lab[:, 20:30, 18:30] = 2
+    batch["label_image"] = jnp.asarray(lab)
+
+    _, metrics = jax.jit(tr.train_step)(state, batch, jax.random.PRNGKey(3))
+    assert "embedding_loss" in metrics
+    emb = float(metrics["embedding_loss"])
+    assert np.isfinite(emb)
+
+    # oracle: recompute on the model's own features
+    outputs = tr.model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["image"], batch["xyz"], train=True,
+        mutable=["batch_stats"])[0]
+    want, intra, inter = embedding_loss(
+        outputs["backbone_features"].astype(jnp.float32), batch["label_image"],
+        k_max=cfg.loss.max_gt_instances + 1, alpha=cfg.loss.embedding_alpha,
+        delta=cfg.loss.embedding_delta,
+        lambda_intra=cfg.loss.embedding_lambda_intra,
+        lambda_inter=cfg.loss.embedding_lambda_inter)
+    np.testing.assert_allclose(emb, float(want), rtol=1e-5, atol=1e-6)
+    assert float(metrics["intra_cluster_loss"]) == pytest.approx(float(intra),
+                                                                 abs=1e-6)
+
+    # total includes the weighted term: rerun with weight 0 and compare
+    cfg0 = tiny_cfg()
+    cfg0.loss.use_embedding_loss = False
+    tr0 = Trainer(cfg0)
+    _, m0 = jax.jit(tr0.train_step)(state, batch, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(
+        float(metrics["total_loss"]),
+        float(m0["total_loss"]) + cfg.loss.embedding_loss_weight * emb,
+        rtol=1e-5)

@@ -25,35 +25,26 @@ import numpy as np
 
 
 def build_predictor(args):
-    import jax
-    import jax.numpy as jnp
-    from ..config import get_config
-    from ..pipeline.two_stage import TwoStagePredictor
-    from ..utils.checkpoint import load_torch_state_dict, convert_msmformer_checkpoint
+    from ..pipeline.factory import build_two_stage_predictor
 
-    cfg = get_config("tabletop_pretrained" if not args.no_depth
-                     else "tabletop_pretrained_rgb")
-    cfg_crop = get_config("crop_tabletop_pretrained")
-    if args.no_depth:
-        cfg_crop.use_depth = False
-        cfg_crop.backbone.input_type = "COLOR"
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    cfg.dtype = cfg_crop.dtype = "bfloat16" if args.bf16 else "float32"
-    pred = TwoStagePredictor(cfg, cfg_crop, dtype=dtype)
-
-    if args.checkpoint:
-        v1 = convert_msmformer_checkpoint(load_torch_state_dict(args.checkpoint))
-        v2 = convert_msmformer_checkpoint(
-            load_torch_state_dict(args.checkpoint_crop or args.checkpoint))
-    else:
+    preset = getattr(args, "config", None) or (
+        "tabletop_pretrained" if not args.no_depth else "tabletop_pretrained_rgb")
+    if not args.checkpoint:
         print("WARNING: no checkpoint given - running with random weights")
-        v1, v2 = pred.init(jax.random.PRNGKey(0), (args.height, args.width))
+    pred, v1, v2, cfg, _ = build_two_stage_predictor(
+        preset, checkpoint=args.checkpoint, checkpoint_crop=args.checkpoint_crop,
+        bf16=args.bf16, no_depth=args.no_depth,
+        image_shape=(args.height, args.width))
     return pred, v1, v2, cfg
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--imgdir", required=True)
+    p.add_argument("--config", default=None,
+                   help="config preset (tabletop_pretrained, uoais_resnet50, "
+                        "tabletop_swin, ...); default picks the flagship "
+                        "UCN-backbone preset")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-crop", default=None)
     p.add_argument("--camera-params", default=None)
@@ -78,7 +69,7 @@ def main(argv=None):
             camera_params = json.load(f)
 
     pred, v1, v2, cfg = build_predictor(args)
-    input_type = "COLOR" if args.no_depth else "RGBD"
+    input_type = "RGBD" if cfg.use_depth else "COLOR"
 
     out_dir = args.out or args.imgdir
     os.makedirs(out_dir, exist_ok=True)

@@ -27,8 +27,19 @@ COCO_PIXEL_STD_RGB = (58.395, 57.120, 57.375)
 
 @dataclass
 class BackboneConfig:
-    """UCN embedding backbone (ref: lib/networks/SEG.py:26-126)."""
+    """Backbone selection.
 
+    kind picks the meta-architecture family (ref: META_ARCHITECTURE registry,
+    lib/fcn/test_demo.py:48-72):
+      - "ucn":      SEGNET embedding backbone + PretrainedMeanShiftMaskFormer
+      - "resnet50": detectron2-style R50 + MeanShiftMaskFormer
+                    (configs/UOAIS_ResNet50.yaml:49)
+      - "swin":     D2SwinTransformer + MeanShiftMaskFormer (registered backbone,
+                    modeling/backbone/swin.py:770 - no shipped config uses it)
+    The remaining fields configure the UCN SEGNET (ref: lib/networks/SEG.py:26-126).
+    """
+
+    kind: str = "ucn"                 # ucn | resnet50 | swin
     network: str = "resnet34_8s"     # resnet34_8s | resnet50_8s | unet | vgg
     input_type: str = "RGBD"          # COLOR | DEPTH | RGBD
     fusion_type: str = "add"          # early | add | cat   (SEG.py:97-110)
@@ -240,6 +251,7 @@ def _resnet50_base(name: str) -> Config:
     UOAIS_ResNet50.yaml, mixture_ResNet50.yaml, pushing_ResNet50.yaml)."""
     cfg = Config(name=name, use_other_backbone=True, use_depth=False,
                  input="COLOR")
+    cfg.backbone.kind = "resnet50"
     cfg.pixel_decoder = PixelDecoderConfig(name="msdeformattn", conv_dim=64,
                                            mask_dim=256)
     cfg.decoder.num_feature_levels = 3
@@ -280,6 +292,16 @@ def crop_tabletop_resnet50_rgb() -> Config:
     """ref: configs/crop_tabletop_ResNet50_RGB.yaml (FEATURE_CROP stage-2)."""
     cfg = _resnet50_base("crop_tabletop_resnet50_rgb")
     cfg.solver.checkpoint_period = 8750
+    return cfg
+
+
+def tabletop_swin() -> Config:
+    """Swin-T backbone variant of the standard-backbone arch. The reference
+    registers D2SwinTransformer as a selectable backbone (modeling/backbone/
+    swin.py:770) but ships no config for it; this preset makes the registered
+    option runnable (Swin-T + MSDeformAttnPixelDecoder + 3-level decoder)."""
+    cfg = _resnet50_base("tabletop_swin")
+    cfg.backbone.kind = "swin"
     return cfg
 
 
@@ -360,6 +382,7 @@ PRESETS = {
     "crop_tabletop_pretrained": crop_tabletop_pretrained,
     "tabletop_pretrained_rgb": tabletop_pretrained_rgb,
     "tabletop_pretrained_resnet50": tabletop_pretrained_resnet50,
+    "tabletop_swin": tabletop_swin,
     "crop_tabletop_resnet50_rgb": crop_tabletop_resnet50_rgb,
     "uoais_resnet50": uoais_resnet50,
     "uoais_ucn": uoais_ucn,

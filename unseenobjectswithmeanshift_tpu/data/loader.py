@@ -11,6 +11,8 @@ they simply contribute nothing).
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -18,17 +20,22 @@ import numpy as np
 
 def label_image_to_instances(label, max_gt: int):
     """[H, W] int32 label image (0 = background) -> (masks [G, H, W] float32,
-    labels [G] int32 (=1, 'object'), valid [G] bool, contiguous)."""
+    labels [G] int32 (=1, 'object'), valid [G] bool, contiguous, renumbered
+    [H, W] label image with instance i in slot i+1 - the contiguous-cluster form
+    the embedding loss consumes; background stays 0)."""
     H, W = label.shape
     masks = np.zeros((max_gt, H, W), np.float32)
     valid = np.zeros(max_gt, bool)
+    renumbered = np.zeros((H, W), np.int32)
     ids = np.unique(label)
     ids = ids[ids > 0][:max_gt]
     for i, v in enumerate(ids):
-        masks[i] = label == v
+        m = label == v
+        masks[i] = m
         valid[i] = True
+        renumbered[m] = i + 1
     labels = np.ones(max_gt, np.int32)
-    return masks, labels, valid
+    return masks, labels, valid, renumbered
 
 
 def pad_hw(arr, divisor=32):
@@ -42,11 +49,18 @@ def pad_hw(arr, divisor=32):
 
 
 class BatchLoader:
-    """Simple shuffling batch iterator producing fixed-shape training batches."""
+    """Shuffling batch iterator producing fixed-shape training batches.
+
+    prefetch > 0 (default 2) runs dataset reads + augmentation + collate on a
+    background thread with a bounded queue, so host-side input work overlaps
+    the device step (the role of the reference's multi-worker detectron2
+    loader, ref: tabletop_train_net_pretrained.py:92-101
+    build_detection_train_loader). prefetch=0 restores the synchronous path.
+    """
 
     def __init__(self, dataset, batch_size: int, max_gt: int = 24,
                  size_divisibility: int = 32, shuffle: bool = True,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_gt = max_gt
@@ -54,8 +68,9 @@ class BatchLoader:
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
+        self.prefetch = prefetch
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _produce(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -68,19 +83,59 @@ class BatchLoader:
         if batch and not self.drop_last:
             yield self.collate(batch)
 
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._produce()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def worker():
+            try:
+                for item in self._produce():
+                    if not put(item):
+                        return   # consumer abandoned iteration
+                put(_END)
+            except BaseException as e:  # surface worker errors to the consumer
+                put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            t.join()
+
     def collate(self, samples):
         imgs, xyzs, masks, labels, valids, gt_labels_img = [], [], [], [], [], []
         for s in samples:
             img = pad_hw(s["image"], self.div)
             lab = pad_hw(s["label"], self.div)
             imgs.append(img)
-            gt_labels_img.append(lab)
             if s.get("xyz") is not None:
                 xyzs.append(pad_hw(s["xyz"], self.div))
-            m, l, v = label_image_to_instances(lab, self.max_gt)
+            m, l, v, renum = label_image_to_instances(lab, self.max_gt)
             masks.append(m)
             labels.append(l)
             valids.append(v)
+            gt_labels_img.append(renum)
         batch = {
             "image": np.stack(imgs),
             "gt_masks": np.stack(masks),

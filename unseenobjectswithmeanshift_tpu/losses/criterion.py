@@ -24,9 +24,7 @@ import jax.numpy as jnp
 
 from .matcher import hungarian_cost_matrix, solve_matches
 from .point_sample import (
-    point_sample, point_sample_factored,
-    get_uncertain_point_coords_with_randomness,
-    get_uncertain_point_coords_factored,
+    point_sample, get_uncertain_point_coords_with_randomness,
 )
 
 

@@ -67,7 +67,7 @@ def get_uncertain_point_coords_with_randomness(
     2. keep the importance_sample_ratio fraction with highest uncertainty
     3. fill the rest with fresh random points
     """
-    N, H, W = mask_logits.shape
+    N = mask_logits.shape[0]
     num_sampled = int(num_points * oversample_ratio)
     num_uncertain = int(importance_sample_ratio * num_points)
     num_random = num_points - num_uncertain
@@ -125,20 +125,3 @@ def point_sample_factored(mask_embed, mask_features, points):
     pts = jax.vmap(lambda p: point_sample_features(mask_features, p))(points)
     return jnp.einsum("nc,npc->np", mask_embed.astype(f32), pts.astype(f32),
                       precision=jax.lax.Precision.HIGHEST)
-
-
-def get_uncertain_point_coords_factored(rng, sample_logits_fn, n_masks: int,
-                                        num_points: int, oversample_ratio: float,
-                                        importance_sample_ratio: float):
-    """get_uncertain_point_coords_with_randomness with a sampling closure:
-    sample_logits_fn(coords [N, S, 2]) -> [N, S] logits."""
-    num_sampled = int(num_points * oversample_ratio)
-    num_uncertain = int(importance_sample_ratio * num_points)
-    num_random = num_points - num_uncertain
-    k1, k2 = jax.random.split(rng)
-    coords = jax.random.uniform(k1, (n_masks, num_sampled, 2))
-    unc = calculate_uncertainty(sample_logits_fn(coords))
-    _, idx = jax.lax.top_k(unc, num_uncertain)
-    picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
-    rand = jax.random.uniform(k2, (n_masks, num_random, 2))
-    return jnp.concatenate([picked, rand], axis=1)

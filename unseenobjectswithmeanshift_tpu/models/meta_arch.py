@@ -87,6 +87,12 @@ class MSMFormer(nn.Module):
         # the meta-arch re-normalizes (pretrained_meanshiftformer_model.py:298)
         features = l2_normalize(features, axis=-1)
 
+        if c.pixel_decoder.name != "simple":
+            raise ValueError(
+                f"pixel_decoder.name {c.pixel_decoder.name!r} requires the "
+                "standard-backbone arch (backbone.kind resnet50|swin); the UCN "
+                "arch's full-res 64-d embedding map has no res2..res5 pyramid "
+                "(ref: fpn.py SimpleBasePixelDecoder:161-290)")
         pixel_decoder = SimplePixelDecoder(conv_dim=c.pixel_decoder.conv_dim,
                                            mask_dim=c.pixel_decoder.mask_dim,
                                            dtype=self.dtype, name="pixel_decoder")
@@ -119,6 +125,10 @@ class MSMFormer(nn.Module):
             # mask_features); the materialized per-layer masks then survive
             # only as the detached attention masks
             outputs["mask_features"] = mask_features
+            # normalized backbone embedding map for the optional metric-learning
+            # embedding loss (ref: pretrained_meanshiftformer_model.py:316-325
+            # F.normalize(features) before EmbeddingLoss)
+            outputs["backbone_features"] = features
 
         if not train:
             # upsample masks to the padded input size (identity for the UCN config,
@@ -130,25 +140,33 @@ class MSMFormer(nn.Module):
         return outputs
 
 
-def build_model(cfg: Config):
-    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    return MSMFormer(cfg=cfg, dtype=dtype)
+class StandardMaskFormer(nn.Module):
+    """Standard-backbone meta-arch: {ResNet50 | Swin} -> {FPN | transformer-enc |
+    MSDeformAttn} pixel decoder -> 3-level mean-shift decoder (ref:
+    meanshiftformer/meanshiftformer_model.py + configs/UOAIS_ResNet50.yaml;
+    backbone/pixel-decoder selection mirrors the reference registries
+    META_ARCH/SEM_SEG_HEADS, meanshift_former_head.py:21-33, fpn.py:37,161,333,
+    swin.py:770). Input normalization (pixel mean/std) happens inside forward
+    like the reference (:240-247); pass raw RGB uint8-scaled float images
+    [B, H, W, 3]. The reference's standard arch consumes only the image tensor
+    (meanshiftformer_model.py backbone(images.tensor)); xyz is accepted for
+    call-signature parity with MSMFormer and ignored.
 
-
-class MeanShiftMaskFormerR50(nn.Module):
-    """Standard-backbone meta-arch: ResNet50 -> MSDeformAttn pixel decoder ->
-    3-level mean-shift decoder (ref: meanshiftformer/meanshiftformer_model.py +
-    configs/UOAIS_ResNet50.yaml). Input normalization (pixel mean/std) happens
-    inside forward like the reference (:240-247); pass raw RGB uint8-scaled
-    float images [B, H, W, 3]."""
+    light=True / present mirror MSMFormer's inference-path contract so the
+    two-stage predictor can drive either architecture."""
 
     cfg: Config
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image, xyz=None, train: bool = False):
+    def __call__(self, image, xyz=None, train: bool = False, light: bool = False,
+                 present=None):
         from .backbone_resnet import ResNetBackbone
-        from .pixel_decoders import MSDeformAttnPixelDecoder
+        from .swin import SwinTransformer
+        from .pixel_decoders import (
+            BasePixelDecoder, TransformerEncoderPixelDecoder,
+            MSDeformAttnPixelDecoder,
+        )
         from ..config import COCO_PIXEL_MEAN_RGB, COCO_PIXEL_STD_RGB
 
         c = self.cfg
@@ -156,12 +174,36 @@ class MeanShiftMaskFormerR50(nn.Module):
         std = jnp.asarray(COCO_PIXEL_STD_RGB, jnp.float32)
         x = ((image - mean) / std).astype(self.dtype)
 
-        features = ResNetBackbone(dtype=self.dtype, name="backbone")(x, train=train)
+        kind = c.backbone.kind
+        if kind == "swin":
+            features = SwinTransformer(dtype=self.dtype, name="backbone")(
+                x, train=train)
+            channels = (96, 192, 384, 768)
+        else:  # resnet50 (default for use_other_backbone configs)
+            features = ResNetBackbone(dtype=self.dtype, name="backbone")(
+                x, train=train)
+            channels = (256, 512, 1024, 2048)
+
         pd = c.pixel_decoder
-        mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
-            conv_dim=pd.conv_dim, mask_dim=pd.mask_dim,
-            enc_layers=pd.transformer_enc_layers, dtype=self.dtype,
-            name="pixel_decoder")(features)
+        if pd.name == "fpn":
+            mask_features, _, multi_scale = BasePixelDecoder(
+                feature_channels=channels, conv_dim=pd.conv_dim,
+                mask_dim=pd.mask_dim, dtype=self.dtype,
+                name="pixel_decoder")(features)
+        elif pd.name == "transformer_enc":
+            mask_features, _, multi_scale = TransformerEncoderPixelDecoder(
+                feature_channels=channels, conv_dim=pd.conv_dim,
+                mask_dim=pd.mask_dim, enc_layers=pd.transformer_enc_layers,
+                dtype=self.dtype, name="pixel_decoder")(features)
+        elif pd.name == "msdeformattn":
+            mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
+                feature_channels=channels, conv_dim=pd.conv_dim,
+                mask_dim=pd.mask_dim, enc_layers=pd.transformer_enc_layers,
+                dtype=self.dtype, name="pixel_decoder")(features)
+        else:
+            raise ValueError(f"unknown pixel_decoder.name {pd.name!r} for the "
+                             "standard-backbone arch (fpn | transformer_enc | "
+                             "msdeformattn)")
 
         d = c.decoder
         use_pallas = (d.use_pallas_attention and not train
@@ -177,11 +219,17 @@ class MeanShiftMaskFormerR50(nn.Module):
             use_meanshift_self_attention=d.use_meanshift_self_attention,
             disable_attention_mask=d.disable_attention_mask,
             decoder_block_norm=d.decoder_block_norm, kappa=d.kappa,
-            use_pallas=use_pallas, remat=train and c.train_remat_attention,
+            use_pallas=use_pallas, materialize_masks=not light,
+            remat=train and c.train_remat_attention,
             dtype=self.dtype,
             name="predictor")
-        outputs = decoder(multi_scale, mask_features)
+        outputs = decoder(multi_scale, mask_features, present=present)
 
+        if light and "mask_embed" in outputs and "pred_masks" not in outputs:
+            # the [Q, C] embeddings + stride-4 mask features; instance_inference
+            # materializes (and upsamples) only the selected queries' masks
+            outputs["mask_features"] = mask_features
+            return outputs
         if train:
             outputs["mask_features"] = mask_features
         if not train:
@@ -190,3 +238,19 @@ class MeanShiftMaskFormerR50(nn.Module):
                 outputs["pred_masks"] = resize_bilinear(
                     outputs["pred_masks"][..., None], hw, align_corners=False)[..., 0]
         return outputs
+
+
+# legacy name used by round-1 tests/converters
+MeanShiftMaskFormerR50 = StandardMaskFormer
+
+
+def build_model(cfg: Config, dtype=None):
+    """Meta-architecture factory (ref: META_ARCH_REGISTRY + build_model,
+    lib/fcn/test_demo.py:48-72): the UCN-backbone arch unless the config selects
+    a standard backbone (use_other_backbone / backbone.kind). dtype overrides
+    cfg.dtype when given."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    if cfg.use_other_backbone or cfg.backbone.kind != "ucn":
+        return StandardMaskFormer(cfg=cfg, dtype=dtype)
+    return MSMFormer(cfg=cfg, dtype=dtype)

@@ -125,6 +125,32 @@ def filter_labels_depth(label, xyz_z, threshold: float, max_label: int):
     return jnp.where(keep_pix, label, 0)
 
 
+def renumber_labels_by_size(label, max_label: int):
+    """Renumber nonzero labels to 1..K ordered by DESCENDING pixel count
+    (background 0 unchanged). Returns (renumbered label, num_clusters).
+
+    Used by the UCN pipeline before refinement: mean_shift_smart_init can emit
+    up to num_seeds (100) clusters but only max_instances crop slots exist, so
+    the slots must go to the LARGEST clusters - the reference crops every
+    unique label with no cap (ref: lib/fcn/test_dataset.py:314-321); with the
+    static bound, size ordering + an explicit dropped-cluster count is the
+    fixed-shape equivalent. Ties keep the original label order (stable sort).
+    """
+    V = max_label
+    HW = label.shape[0] * label.shape[1]
+    oh = jax.nn.one_hot(label.reshape(HW), V, dtype=jnp.float32, axis=0)  # [V, HW]
+    sizes = oh.sum(-1)
+    sizes = sizes.at[0].set(0.0)               # background takes no rank
+    order = jnp.argsort(-sizes, stable=True)   # labels by size desc
+    new_id = jnp.zeros(V, jnp.int32).at[order].set(
+        jnp.arange(1, V + 1, dtype=jnp.int32))
+    new_id = jnp.where(sizes > 0, new_id, 0).at[0].set(0)
+    # remap pixels via the one-hot matvec (gathers are TPU-hostile)
+    renumbered = (new_id.astype(jnp.float32) @ oh).reshape(label.shape)
+    num_clusters = (sizes > 0).sum().astype(jnp.int32)
+    return renumbered.astype(jnp.int32), num_clusters
+
+
 def mask_to_tight_box(mask):
     """(x_min, y_min, x_max, y_max) of a [H, W] boolean mask
     (ref: lib/utils/mask.py mask_to_tight_box). Returns zeros for empty masks."""

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..models.meta_arch import MSMFormer
+from ..models.meta_arch import build_model
 from .postprocess import (
     instance_inference, get_confident_instances, combine_masks, filter_labels_depth,
 )
@@ -73,8 +73,12 @@ class TwoStagePredictor:
                  dtype=jnp.float32, bucketed: bool = True):
         self.cfg = cfg
         self.cfg_crop = cfg_crop or cfg
-        self.model = MSMFormer(cfg=cfg, dtype=dtype)
-        self.model_crop = MSMFormer(cfg=self.cfg_crop, dtype=dtype)
+        # the meta-arch factory honors use_other_backbone / backbone.kind /
+        # pixel_decoder.name (ref: lib/fcn/test_demo.py:48-72 builds either
+        # arch from config), so the predictor drives the UCN, ResNet50 and
+        # Swin families alike
+        self.model = build_model(cfg, dtype=dtype)
+        self.model_crop = build_model(self.cfg_crop, dtype=dtype)
         self.bucketed = bucketed
         self._fn = None
         self._s1_fn = None
@@ -107,16 +111,42 @@ class TwoStagePredictor:
         # the smallest compiled budget that fits - absent RoI slots never reach
         # the crop backbone (the fused decoder kernel already skipped them; the
         # XLA convs could not).
+        self._ensure_bucketed_jits()
+        s1_out = self._s1_fn(variables, image, xyz, osd=osd)
+        return self._finish_bucketed(variables_crop, s1_out)
+
+    def _ensure_bucketed_jits(self):
         if self._s1_fn is None:
             self._s1_fn = jax.jit(self._stage1_and_crops, static_argnames=("osd",))
             self._s2_fn = jax.jit(self._stage2_refine, static_argnames=("P",))
-        labels, crops, perm, count = self._s1_fn(variables, image, xyz, osd=osd)
+
+    def _finish_bucketed(self, variables_crop, s1_out):
+        """Sync the crop count (the one host round-trip), pick the budget
+        bucket, run graph 2."""
+        labels, crops, perm, count = s1_out
         n = int(count)
         if n == 0:
             return labels, labels
         P = pick_crop_budget(perm.shape[0], n)
         refined = self._s2_fn(variables_crop, labels, crops, perm, P=P)
         return labels, refined
+
+    def stream(self, variables, variables_crop, batches, osd: bool = False):
+        """Software-pipelined batched inference over an iterable of
+        (image, xyz) batches: stage 1 of batch i+1 is enqueued BEFORE batch i's
+        crop-count sync, so the per-sync host round-trip overlaps device work
+        (the recipe bench.py measures with; ref workload
+        lib/fcn/test_utils.py:339-421 runs one synchronous image at a time).
+        Yields (labels, refined) per input batch, in order, one batch behind."""
+        self._ensure_bucketed_jits()
+        prev = None
+        for (image, xyz) in batches:
+            out = self._s1_fn(variables, image, xyz, osd=osd)
+            if prev is not None:
+                yield self._finish_bucketed(variables_crop, prev)
+            prev = out
+        if prev is not None:
+            yield self._finish_bucketed(variables_crop, prev)
 
     def jit_sharded(self, mesh, osd: bool = False, refine: bool = True):
         """Data-parallel serving step over a device mesh: the batch dimension is

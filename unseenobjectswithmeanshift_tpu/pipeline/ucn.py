@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..models.segnet import build_segnet
 from ..ops.mean_shift import mean_shift_smart_init
-from .postprocess import filter_labels_depth
+from .postprocess import filter_labels_depth, renumber_labels_by_size
 from .refine import (
     crop_rois, match_label_crop, crop_budget_buckets, pick_crop_budget,
     compact_present, gather_compacted, scatter_crop_labels,
@@ -77,14 +77,29 @@ class UCNPredictor:
             return self._fn(variables, variables_crop, image, xyz,
                             depth_threshold=depth_threshold, refine=refine,
                             first_seed_idx=first_seed_idx)
+        self._ensure_bucketed_jits()
+        s1_out = self._s1_fn(variables, image, xyz,
+                             depth_threshold=depth_threshold,
+                             first_seed_idx=first_seed_idx)
+        return self._finish_bucketed(variables_crop, s1_out, first_seed_idx)
+
+    def _ensure_bucketed_jits(self):
         if self._s1_fn is None:
             self._s1_fn = jax.jit(self._stage1_and_crops,
                                   static_argnames=("depth_threshold",))
             self._s2_fn = jax.jit(self._stage2_refine, static_argnames=("P",))
-        labels, crops, perm, count = self._s1_fn(
-            variables, image, xyz, depth_threshold=depth_threshold,
-            first_seed_idx=first_seed_idx)
-        n = int(count)
+
+    def _finish_bucketed(self, variables_crop, s1_out, first_seed_idx=0):
+        import numpy as np
+
+        labels, crops, perm, counts = s1_out
+        counts = np.asarray(counts)            # ONE scalar-pair sync
+        n, dropped = int(counts[0]), int(counts[1])
+        if dropped > 0:
+            print(f"WARNING: {dropped} cluster(s) beyond the "
+                  f"{self.cfg.test.max_instances} crop slots were not refined "
+                  "(smallest by pixel count; raise test.max_instances to "
+                  "refine them)")
         if n == 0:
             return labels, labels
         P = pick_crop_budget(perm.shape[0], n)
@@ -92,13 +107,33 @@ class UCNPredictor:
                               first_seed_idx, P=P)
         return labels, refined
 
+    def stream(self, variables, variables_crop, batches,
+               depth_threshold: float = 0.8, first_seed_idx: int = 0):
+        """Software-pipelined batched inference over (image, xyz) batches -
+        same contract as TwoStagePredictor.stream."""
+        self._ensure_bucketed_jits()
+        prev = None
+        for (image, xyz) in batches:
+            out = self._s1_fn(variables, image, xyz,
+                              depth_threshold=depth_threshold,
+                              first_seed_idx=first_seed_idx)
+            if prev is not None:
+                yield self._finish_bucketed(variables_crop, prev, first_seed_idx)
+            prev = out
+        if prev is not None:
+            yield self._finish_bucketed(variables_crop, prev, first_seed_idx)
+
     def _stage1_and_crops(self, variables, image, xyz, depth_threshold: float,
                           first_seed_idx):
-        labels = self._stage1_labels(variables, image, xyz, depth_threshold,
-                                     first_seed_idx)
+        labels, n_clusters = self._stage1_labels(variables, image, xyz,
+                                                 depth_threshold, first_seed_idx)
         crops = self._extract_crops(image, labels, xyz)
         perm, count = compact_present(crops.present)
-        return labels, crops, perm, count
+        # pack (crop count, clusters dropped from refinement) into one scalar
+        # transfer: clusters ranked beyond max_instances got no crop slot
+        T = self.cfg.test.max_instances
+        dropped = jnp.sum(jnp.maximum(n_clusters - T, 0))
+        return labels, crops, perm, jnp.stack([count, dropped])
 
     def _stage2_refine(self, variables_crop, labels, crops, perm,
                        first_seed_idx, P: int):
@@ -130,7 +165,13 @@ class UCNPredictor:
             labels = jax.vmap(lambda l, d: filter_labels_depth(
                 l, d[..., 2], depth_threshold,
                 max_label=ms.num_seeds))(labels, xyz)
-        return labels
+        # size-ordered renumbering: the largest clusters take the refinement
+        # slots; clusters ranked beyond max_instances keep labels > T (they
+        # survive the stage-1 output and are counted as dropped from stage 2 -
+        # see the bucketed path's dropped-cluster warning)
+        labels, n_clusters = jax.vmap(
+            lambda l: renumber_labels_by_size(l, ms.num_seeds))(labels)
+        return labels, n_clusters
 
     def _extract_crops(self, image, labels, xyz):
         t = self.cfg.test
@@ -186,8 +227,8 @@ class UCNPredictor:
         B = image.shape[0]
         T, S = self.cfg.test.max_instances, self.cfg.test.crop_size
 
-        labels = self._stage1_labels(variables, image, xyz, depth_threshold,
-                                     first_seed_idx)
+        labels, _n_clusters = self._stage1_labels(variables, image, xyz,
+                                                  depth_threshold, first_seed_idx)
         if not refine:
             return labels, labels
 

@@ -27,8 +27,9 @@ from flax import struct
 from flax.core import FrozenDict
 
 from ..config import Config
-from ..models.meta_arch import MSMFormer
+from ..models.meta_arch import build_model
 from ..losses.criterion import SetCriterion
+from ..losses.embedding import embedding_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -101,7 +102,9 @@ def _scale_by_path(mult_fn):
 class Trainer:
     def __init__(self, cfg: Config, dtype=jnp.float32):
         self.cfg = cfg
-        self.model = MSMFormer(cfg=cfg, dtype=dtype)
+        # factory honors use_other_backbone / backbone.kind, so the ResNet50 and
+        # Swin configurations train through the same Trainer
+        self.model = build_model(cfg, dtype=dtype)
         self.criterion = SetCriterion(
             num_classes=cfg.decoder.num_classes,
             class_weight=cfg.loss.class_weight,
@@ -136,6 +139,25 @@ class Trainer:
                 mutable=["batch_stats"])
             total, losses = self.criterion(rng, outputs, batch["gt_labels"],
                                            batch["gt_masks"], batch["gt_valid"])
+            lc = self.cfg.loss
+            if lc.use_embedding_loss:
+                # metric-learning loss on the normalized backbone embedding map
+                # vs the per-pixel instance label image, added to the criterion
+                # total with its configured weight (ref: pretrained_
+                # meanshiftformer_model.py:316-325 + weight_dict update :325)
+                feats = outputs.get("backbone_features",
+                                    outputs.get("mask_features"))
+                emb, intra, inter = embedding_loss(
+                    feats.astype(jnp.float32), batch["label_image"],
+                    k_max=lc.max_gt_instances + 1, alpha=lc.embedding_alpha,
+                    delta=lc.embedding_delta,
+                    lambda_intra=lc.embedding_lambda_intra,
+                    lambda_inter=lc.embedding_lambda_inter,
+                    normalize=lc.embedding_normalize)
+                losses["embedding_loss"] = emb
+                losses["intra_cluster_loss"] = intra
+                losses["inter_cluster_loss"] = inter
+                total = total + lc.embedding_loss_weight * emb
             return total, (losses, mutated.get("batch_stats", state.batch_stats))
 
         (total, (losses, new_bs)), grads = jax.value_and_grad(
