@@ -233,3 +233,59 @@ def test_criterion_factored_matches_dense(rng):
     for k in losses_d:
         np.testing.assert_allclose(float(losses_f[k]), float(losses_d[k]),
                                    rtol=5e-3, atol=1e-4)
+
+
+def test_criterion_pair_compaction_bit_exact(rng):
+    """pair_budget compaction must be BIT-IDENTICAL to the uncompacted loss
+    when budget >= the true pair count (the coord draws are shared via
+    row_idx/total_rows, so only dead padded slots are skipped)."""
+    import jax
+    from unseenobjectswithmeanshift_tpu.losses.criterion import SetCriterion
+
+    B, Q, G, H, W = 2, 6, 5, 24, 24
+    outputs = {
+        "pred_logits": jnp.asarray(rng.randn(B, Q, 3).astype(np.float32)),
+        "pred_masks": jnp.asarray(rng.randn(B, Q, H, W).astype(np.float32)),
+        "aux_outputs": [{
+            "pred_logits": jnp.asarray(rng.randn(B, Q, 3).astype(np.float32)),
+            "pred_masks": jnp.asarray(rng.randn(B, Q, H, W).astype(np.float32)),
+        }],
+    }
+    gt_masks = jnp.asarray((rng.rand(B, G, H, W) > 0.7).astype(np.float32))
+    gt_labels = jnp.ones((B, G), jnp.int32)
+    gt_valid = jnp.asarray(np.array([[True, True, True, False, False],
+                                     [True, True, False, False, False]]))
+    crit = SetCriterion(num_points=96)
+    key = jax.random.PRNGKey(3)
+    total_full, losses_full = crit(key, outputs, gt_labels, gt_masks, gt_valid)
+    total_c, losses_c = crit(key, outputs, gt_labels, gt_masks, gt_valid,
+                             pair_budget=6)  # 5 valid pairs, 10 slots
+    assert float(total_c) == float(total_full)
+    for k in losses_full:
+        assert float(losses_c[k]) == float(losses_full[k]), k
+
+
+def test_criterion_pair_compaction_factored(rng):
+    """Compaction on the factored (mask_embed/mask_features) scoring path."""
+    import jax
+    from unseenobjectswithmeanshift_tpu.losses.criterion import SetCriterion
+
+    B, Q, G, H, W, C = 2, 8, 4, 32, 40, 16
+    me = jnp.asarray(rng.randn(B, Q, C).astype(np.float32) * 0.3)
+    mf = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32) * 0.3)
+    pred_logits = jnp.asarray(rng.randn(B, Q, 3).astype(np.float32))
+    gt_masks = np.zeros((B, G, H, W), np.float32)
+    gt_masks[:, 0, 4:16, 4:20] = 1
+    gt_masks[:, 1, 18:30, 22:38] = 1
+    gt_masks = jnp.asarray(gt_masks)
+    gt_labels = jnp.ones((B, G), jnp.int32)
+    gt_valid = jnp.asarray(np.tile([True, True, False, False], (B, 1)))
+    outputs = {"pred_logits": pred_logits, "mask_embed": me,
+               "mask_features": mf}
+
+    crit = SetCriterion(num_points=64, deep_supervision=False)
+    key = jax.random.PRNGKey(0)
+    total_full, _ = crit(key, outputs, gt_labels, gt_masks, gt_valid)
+    total_c, _ = crit(key, outputs, gt_labels, gt_masks, gt_valid,
+                      pair_budget=4)
+    assert float(total_c) == float(total_full)

@@ -46,7 +46,7 @@ def main(argv=None):
     from ..config import get_config
     from ..data.datasets import TableTopObject
     from ..data.loader import BatchLoader
-    from ..train.trainer import Trainer
+    from ..train.trainer import Trainer, pair_bucket
     from ..parallel.mesh import make_mesh, shard_batch, replicate
     from ..utils import checkpoint_io
 
@@ -123,8 +123,13 @@ def main(argv=None):
             for batch in loader:
                 if it >= args.iters:
                     break
+                # pair compaction: the instance count is host data - bucket it
+                # so the criterion point-samples ~count pairs, not B*max_gt
+                pb = pair_bucket(int(np.sum(batch["gt_valid"])),
+                                 batch["gt_valid"].size)
                 batch = shard_batch(mesh, batch)
-                state, metrics = step_fn(state, batch, jax.random.PRNGKey(it))
+                state, metrics = step_fn(state, batch, jax.random.PRNGKey(it),
+                                         pair_budget=pb)
                 it += 1
                 if it % args.log_period == 0:
                     total = float(metrics["total_loss"])

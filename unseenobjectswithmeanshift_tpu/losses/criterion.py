@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from .matcher import hungarian_cost_matrix, solve_matches
 from .point_sample import (
-    point_sample, get_uncertain_point_coords_with_randomness,
+    point_sample, build_sample_window,
+    get_uncertain_point_coords_with_randomness,
 )
 
 
@@ -67,7 +68,8 @@ def dice_loss(point_logits, point_labels, pair_valid, num_masks):
 def loss_masks(rng, pred_masks, gt_masks, gt_valid, matched_query, num_masks,
                num_points: int, oversample_ratio: float,
                importance_sample_ratio: float, mask_embed=None,
-               mask_features=None):
+               mask_features=None, pair_idx=None, tgt_win=None,
+               pair_valid_c=None, sample_dtype=None):
     """Point-sampled mask losses over matched pairs (ref: criterion.py:140-190).
 
     Predicted masks either materialized (pred_masks [B, Q, H, W]) or FACTORED
@@ -75,15 +77,23 @@ def loss_masks(rng, pred_masks, gt_masks, gt_valid, matched_query, num_masks,
     matched_query [B, G]. The factored form samples mask_features rows and
     applies the matched mask_embed afterwards (linear => identical results;
     per-pair map gathers dominated the train step on the TPU).
+
+    pair_idx (optional, [P] int32): PAIR COMPACTION - sample only these
+    flattened (b*G+g) pair slots (valid slots first; P a static budget >= the
+    valid count). Padded gt slots contribute exactly zero to the losses either
+    way, so compaction is loss-preserving while the point-sampling gathers -
+    the train step's dominant cost - scale with the REAL instance count
+    instead of B*max_gt. tgt_win/pair_valid_c: the compacted gt sample window
+    and validity, prebuilt once in SetCriterion and shared by all heads.
+    sample_dtype: map storage dtype for sampling (bf16 = the reference's AMP
+    autocast behavior; exact for the 0/1 targets either way).
     """
     factored = pred_masks is None
     B, Q = (mask_embed.shape[:2] if factored else pred_masks.shape[:2])
     G = gt_masks.shape[1]
+    Hg, Wg = gt_masks.shape[2], gt_masks.shape[3]
 
     mq = jnp.clip(matched_query, 0, Q - 1)
-    tgt = gt_masks.reshape(B * G, *gt_masks.shape[2:]).astype(jnp.float32)
-    pair_valid = gt_valid.reshape(B * G).astype(jnp.float32)
-
     if factored:
         # materialize only the G MATCHED pair maps (me_g @ mask_features,
         # [B, G, H, W] ~ 59 MB) instead of the full-Q per-layer maps; per-pair
@@ -98,10 +108,28 @@ def loss_masks(rng, pred_masks, gt_masks, gt_valid, matched_query, num_masks,
     else:
         src = jnp.take_along_axis(pred_masks, mq[:, :, None, None], axis=1)
         src = src.reshape(B * G, *src.shape[2:]).astype(jnp.float32)
+
+    if pair_idx is not None:
+        # whole-map rows (~1.2 MB each) - a cheap contiguous gather; the
+        # expensive per-point gathers below then run on P pairs, not B*G
+        src = src[pair_idx]
+        pair_valid = pair_valid_c
+    else:
+        pair_valid = gt_valid.reshape(B * G).astype(jnp.float32)
+
+    if sample_dtype is not None:
+        src = src.astype(sample_dtype)
     coords = jax.lax.stop_gradient(get_uncertain_point_coords_with_randomness(
         rng, jax.lax.stop_gradient(src), num_points, oversample_ratio,
-        importance_sample_ratio))
-    point_labels = jax.lax.stop_gradient(point_sample(tgt, coords))
+        importance_sample_ratio, row_idx=pair_idx,
+        total_rows=(B * G if pair_idx is not None else None)))
+    if tgt_win is None:
+        tgt = gt_masks.reshape(B * G, Hg, Wg)
+        if pair_idx is not None:
+            tgt = tgt[pair_idx]
+        tgt_win = build_sample_window(tgt.astype(sample_dtype or jnp.float32))
+    point_labels = jax.lax.stop_gradient(
+        point_sample(None, coords, win=tgt_win, hw=(Hg, Wg)))
     point_logits = point_sample(src, coords)
 
     return {
@@ -119,7 +147,8 @@ class SetCriterion:
                  oversample_ratio: float = 3.0,
                  importance_sample_ratio: float = 0.75,
                  deep_supervision: bool = True,
-                 dp_axis: Optional[str] = None):
+                 dp_axis: Optional[str] = None,
+                 sample_dtype=None):
         self.num_classes = num_classes
         self.class_weight = class_weight
         self.mask_weight = mask_weight
@@ -130,15 +159,27 @@ class SetCriterion:
         self.importance_sample_ratio = importance_sample_ratio
         self.deep_supervision = deep_supervision
         self.dp_axis = dp_axis  # mesh axis name for the num_masks all-reduce
+        # map storage dtype for point sampling: bf16 mirrors the reference's
+        # AMP autocast around the criterion (tabletop_train_net_pretrained.py:
+        # 231-234) and halves the gather traffic; None = exact fp32
+        self.sample_dtype = sample_dtype
 
     def weight_dict(self):
         return {"loss_ce": self.class_weight, "loss_mask": self.mask_weight,
                 "loss_dice": self.dice_weight}
 
-    def __call__(self, rng, outputs: Dict, gt_labels, gt_masks, gt_valid):
+    def __call__(self, rng, outputs: Dict, gt_labels, gt_masks, gt_valid,
+                 pair_budget: Optional[int] = None):
         """outputs: dict(pred_logits [B,Q,K+1], pred_masks [B,Q,H,W], aux_outputs);
         gt_labels [B, G] int32; gt_masks [B, G, H, W]; gt_valid [B, G] bool with
-        valid slots contiguous from 0. Returns (total_loss, dict of raw losses)."""
+        valid slots contiguous from 0. Returns (total_loss, dict of raw losses).
+
+        pair_budget: static pair-compaction budget (see loss_masks). Point-
+        sample only that many matched pairs instead of all B*G slots; the
+        caller must guarantee budget >= the batch's true instance count (the
+        trainer buckets the host-known count), otherwise valid pairs are
+        silently dropped from the mask losses. Bit-identical to the
+        uncompacted loss when the guarantee holds (shared uniform draws)."""
         num_masks = gt_valid.sum().astype(jnp.float32)
         if self.dp_axis is not None:
             num_masks = jax.lax.psum(num_masks, self.dp_axis)
@@ -150,6 +191,24 @@ class SetCriterion:
         heads = [outputs]
         if self.deep_supervision and "aux_outputs" in outputs:
             heads = heads + list(outputs["aux_outputs"])
+
+        # pair compaction + the shared gt sample window, built ONCE (the gt
+        # maps are head-independent; every deep-supervision head previously
+        # re-padded/stacked the same [B*G, H+1, W+1, 4] window)
+        B, G = gt_valid.shape
+        Hg, Wg = gt_masks.shape[2], gt_masks.shape[3]
+        valid_flat = gt_valid.reshape(B * G)
+        tgt = gt_masks.reshape(B * G, Hg, Wg)
+        if pair_budget is not None and pair_budget < B * G:
+            # stable argsort puts valid slots first, in original order
+            order = jnp.argsort(jnp.logical_not(valid_flat), stable=True)
+            pair_idx = order[:pair_budget].astype(jnp.int32)
+            pair_valid_c = valid_flat[pair_idx].astype(jnp.float32)
+            tgt = tgt[pair_idx]
+        else:
+            pair_idx = None
+            pair_valid_c = None
+        tgt_win = build_sample_window(tgt, dtype=self.sample_dtype)
 
         # factored scoring: heads carrying mask_embed are scored against the
         # shared mask_features without materializing/sampling per-query maps
@@ -186,7 +245,10 @@ class SetCriterion:
             lm = loss_masks(head_keys[i], pm, gt_masks, gt_valid, matched,
                             num_masks, self.num_points, self.oversample_ratio,
                             self.importance_sample_ratio, mask_embed=me,
-                            mask_features=mask_features if factored else None)
+                            mask_features=mask_features if factored else None,
+                            pair_idx=pair_idx, tgt_win=tgt_win,
+                            pair_valid_c=pair_valid_c,
+                            sample_dtype=self.sample_dtype)
             suffix = "" if i == 0 else f"_{i - 1}"
             losses[f"loss_ce{suffix}"] = l_ce
             losses[f"loss_mask{suffix}"] = lm["loss_mask"]

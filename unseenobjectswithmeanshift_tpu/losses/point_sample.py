@@ -15,28 +15,44 @@ import jax
 import jax.numpy as jnp
 
 
-def point_sample(masks, points):
+def build_sample_window(masks, dtype=None):
+    """Precompute the 4-tap window tensor for point_sample: win[n, a, b] =
+    [mz[a, b], mz[a, b+1], mz[a+1, b], mz[a+1, b+1]] with mz the map
+    zero-padded by one row/col on every side (anchor = y0+1, x0+1 in padded
+    coords). Build it ONCE when the same maps are sampled at several coord
+    sets (e.g. the gt masks across every deep-supervision head).
+
+    dtype: optional storage dtype. bf16 is BITWISE-exact for 0/1 target masks
+    (the bilinear weights stay fp32, and bf16*fp32 promotes); for logit maps
+    bf16 matches the reference's AMP behavior (criterion point sampling runs
+    under autocast, tabletop_train_net_pretrained.py:231-234)."""
+    masks = masks if dtype is None else masks.astype(dtype)
+    mz = jnp.pad(masks, ((0, 0), (1, 1), (1, 1)))
+    return jnp.stack([mz[:, :-1, :-1], mz[:, :-1, 1:],
+                      mz[:, 1:, :-1], mz[:, 1:, 1:]], axis=-1)  # [N, H+1, W+1, 4]
+
+
+def point_sample(masks, points, win=None, hw=None):
     """Sample [.., H, W] mask maps at normalized points.
 
-    masks: [N, H, W]; points: [N, P, 2] with (x, y) in [0, 1].
-    Returns [N, P]. grid_sample align_corners=False semantics with zero padding:
-    src = p * size - 0.5, bilinear, out-of-range neighbours contribute zero.
+    masks: [N, H, W] (or None with win + hw given); points: [N, P, 2] with
+    (x, y) in [0, 1]. Returns [N, P] fp32. grid_sample align_corners=False
+    semantics with zero padding: src = p * size - 0.5, bilinear, out-of-range
+    neighbours contribute zero.
 
-    The four bilinear taps are gathered as ONE 4-float window row from a
-    zero-padded window tensor (built once per map) instead of four scattered
+    The four bilinear taps are gathered as ONE window row from the prebuilt
+    window tensor (win, see build_sample_window) instead of four scattered
     per-element gathers - per-element gathers dominate the TPU train step, and
-    a 16-byte contiguous row costs the same as a 4-byte element. Padding keeps
-    the zero-contribution semantics of out-of-range neighbours exactly:
-    src coords lie in [-0.5, size - 0.5], so the +1-shifted anchor always lands
-    inside the padded map and no range masks are needed.
+    a contiguous row costs the same as a single element. Padding keeps the
+    zero-contribution semantics of out-of-range neighbours exactly: src coords
+    lie in [-0.5, size - 0.5], so the +1-shifted anchor always lands inside
+    the padded map and no range masks are needed.
     """
-    N, H, W = masks.shape
-    # window tensor: win[a, b] = [mz[a, b], mz[a, b+1], mz[a+1, b], mz[a+1, b+1]]
-    # with mz the map zero-padded by one row/col on every side (anchor = y0+1,
-    # x0+1 in padded coords)
-    mz = jnp.pad(masks, ((0, 0), (1, 1), (1, 1)))
-    win = jnp.stack([mz[:, :-1, :-1], mz[:, :-1, 1:],
-                     mz[:, 1:, :-1], mz[:, 1:, 1:]], axis=-1)  # [N, H+1, W+1, 4]
+    if win is None:
+        H, W = masks.shape[1], masks.shape[2]
+        win = build_sample_window(masks)
+    else:
+        H, W = hw
 
     def sample_one(w4, pts):
         fx = pts[:, 0] * W - 0.5
@@ -48,7 +64,7 @@ def point_sample(masks, points):
         taps = w4[y0 + 1, x0 + 1]                               # [P, 4]
         wgt = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
                          wy * (1 - wx), wy * wx], axis=-1)       # [P, 4]
-        return (taps * wgt).sum(-1)
+        return (taps.astype(jnp.float32) * wgt).sum(-1)
 
     return jax.vmap(sample_one)(win, points)
 
@@ -60,25 +76,37 @@ def calculate_uncertainty(logits):
 
 def get_uncertain_point_coords_with_randomness(
         rng, mask_logits, num_points: int, oversample_ratio: float,
-        importance_sample_ratio: float):
+        importance_sample_ratio: float, row_idx=None, total_rows=None):
     """mask_logits: [N, H, W]. Returns [N, num_points, 2] (x, y) in [0, 1].
 
     1. sample num_points * oversample random points
     2. keep the importance_sample_ratio fraction with highest uncertainty
     3. fill the rest with fresh random points
+
+    row_idx/total_rows: when the caller compacted its maps from total_rows
+    down to N rows (pair compaction in the criterion), draw the uniforms at
+    [total_rows, ...] and gather row_idx so the coords for every surviving row
+    are BIT-IDENTICAL to the uncompacted draw - compaction then provably
+    cannot change the loss. The draw itself is cheap; only the per-point map
+    sampling below scales with N.
     """
     N = mask_logits.shape[0]
     num_sampled = int(num_points * oversample_ratio)
     num_uncertain = int(importance_sample_ratio * num_points)
     num_random = num_points - num_uncertain
+    draw_n = total_rows if total_rows is not None else N
 
     k1, k2 = jax.random.split(rng)
-    coords = jax.random.uniform(k1, (N, num_sampled, 2))
+    coords = jax.random.uniform(k1, (draw_n, num_sampled, 2))
+    if row_idx is not None:
+        coords = coords[row_idx]
     logits = point_sample(mask_logits, coords)
     unc = calculate_uncertainty(logits)                       # [N, num_sampled]
     _, idx = jax.lax.top_k(unc, num_uncertain)
     picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
-    rand = jax.random.uniform(k2, (N, num_random, 2))
+    rand = jax.random.uniform(k2, (draw_n, num_random, 2))
+    if row_idx is not None:
+        rand = rand[row_idx]
     return jnp.concatenate([picked, rand], axis=1)
 
 

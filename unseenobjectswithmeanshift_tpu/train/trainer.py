@@ -114,7 +114,11 @@ class Trainer:
             num_points=cfg.loss.train_num_points,
             oversample_ratio=cfg.loss.oversample_ratio,
             importance_sample_ratio=cfg.loss.importance_sample_ratio,
-            deep_supervision=cfg.loss.deep_supervision)
+            deep_supervision=cfg.loss.deep_supervision,
+            # bf16 point sampling mirrors the reference's AMP autocast around
+            # the criterion (run_step wraps model+loss in autocast,
+            # tabletop_train_net_pretrained.py:231-234)
+            sample_dtype=jnp.bfloat16 if dtype == jnp.bfloat16 else None)
         self.tx = make_optimizer(cfg)
 
     def init_state(self, rng, image_shape, batch_size: int = 1) -> TrainState:
@@ -128,9 +132,15 @@ class Trainer:
                           batch_stats=batch_stats,
                           opt_state=self.tx.init(params))
 
-    def train_step(self, state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+    def train_step(self, state: TrainState, batch: Dict, rng,
+                   pair_budget: Optional[int] = None) -> Tuple[TrainState, Dict]:
         """batch: image [B,H,W,3], xyz [B,H,W,3] or None, gt_labels [B,G],
-        gt_masks [B,G,H,W], gt_valid [B,G] (valid slots contiguous)."""
+        gt_masks [B,G,H,W], gt_valid [B,G] (valid slots contiguous).
+
+        pair_budget: static pair-compaction budget for the criterion's point-
+        sampled mask losses (see SetCriterion.__call__). The caller buckets
+        the batch's host-known instance count via pair_bucket(); each distinct
+        bucket compiles once."""
 
         def loss_fn(params):
             outputs, mutated = self.model.apply(
@@ -138,7 +148,8 @@ class Trainer:
                 batch["image"], batch.get("xyz"), train=True,
                 mutable=["batch_stats"])
             total, losses = self.criterion(rng, outputs, batch["gt_labels"],
-                                           batch["gt_masks"], batch["gt_valid"])
+                                           batch["gt_masks"], batch["gt_valid"],
+                                           pair_budget=pair_budget)
             lc = self.cfg.loss
             if lc.use_embedding_loss:
                 # metric-learning loss on the normalized backbone embedding map
@@ -173,11 +184,22 @@ class Trainer:
     def jit_train_step(self, mesh=None):
         """jit the train step; with a mesh, shard the batch over 'dp'."""
         if mesh is None:
-            return jax.jit(self.train_step)
+            return jax.jit(self.train_step, static_argnames=("pair_budget",))
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("dp"))
         # pytree-prefix shardings: replicated state/rng, batch sharded over dp
         return jax.jit(self.train_step, in_shardings=(repl, data, repl),
-                       out_shardings=(repl, repl))
+                       out_shardings=(repl, repl),
+                       static_argnames=("pair_budget",))
+
+
+def pair_bucket(count: int, max_pairs: int, buckets=(16, 32, 48, 64)) -> int:
+    """Round a batch's true instance count up to a static pair-compaction
+    bucket (each bucket compiles once). Returns max_pairs (= no compaction)
+    when the count exceeds every bucket."""
+    for b in buckets:
+        if count <= b < max_pairs:
+            return b
+    return max_pairs
