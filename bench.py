@@ -92,35 +92,37 @@ def main():
         n = int(count)
         return next(b for b in pred._buckets(perm.shape[0]) if b >= n)
 
-    def one_step(prev=None):
-        out = s1(v1, img, xyz, osd=False)
-        if prev is None:
-            return out, None
-        labels_, crops_, perm_, count_ = prev
+    from collections import deque
+
+    DEPTH = 2  # batches in flight before each crop-count sync: keeps ~2
+    # batches of device work buffered so the dev tunnel's per-sync round-trip
+    # (28-45+ ms, varies run to run) never drains the device queue
+
+    def pop_refine(pending):
+        labels_, crops_, perm_, count_ = pending.popleft()
         P = pick_bucket(perm_, count_)
-        refined_ = s2(v2, labels_, crops_, perm_, P=P)
-        return out, (labels_, refined_, P)
+        return labels_, s2(v2, labels_, crops_, perm_, P=P), P
 
     # warm-up: compile stage 1 + the bucket this workload uses
-    w, _ = one_step()
-    _, res = one_step(w)
+    pending = deque(s1(v1, img, xyz, osd=False) for _ in range(2))
+    res = pop_refine(pending)
     labels = np.asarray(res[0])
     refined = np.asarray(res[1])
     P_used = res[2]
     assert labels.shape == (B, H, W) and refined.shape == (B, H, W)
+    np.asarray(chk(pop_refine(pending)[1]))
 
     iters = 20
     t0 = time.perf_counter()
-    prev, _ = one_step()
+    pending = deque()
     last = None
-    for _ in range(iters - 1):
-        prev, last = one_step(prev)
-    # drain the final batch
-    labels_f, crops_f, perm_f, count_f = prev
-    refined_f = s2(v2, labels_f, crops_f, perm_f, P=pick_bucket(perm_f, count_f))
-    np.asarray(chk(refined_f))
-    if last is not None:
-        np.asarray(chk(last[1]))
+    for _ in range(iters):
+        pending.append(s1(v1, img, xyz, osd=False))
+        if len(pending) > DEPTH:
+            last = pop_refine(pending)[1]
+    while pending:
+        last = pop_refine(pending)[1]
+    np.asarray(chk(last))
     dt_full = (time.perf_counter() - t0) / iters
 
     # stage-1-only throughput: enqueue all, one sync

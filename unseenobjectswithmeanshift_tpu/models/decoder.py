@@ -99,10 +99,16 @@ class MultiheadAttention(nn.Module):
                   + p.k_bias.astype(f32)).astype(dt)
             cv = (cin.astype(f32) @ p.v_kernel.astype(f32)
                   + p.v_bias.astype(f32)).astype(dt)
+            # block sizes tuned on the v5e: long-K whole-image shapes want
+            # wider K tiles (+2% end to end); the crop shapes keep the
+            # defaults (wider/bb=8 variants win in kernel isolation but LOSE
+            # ~10 ms in the full stage-2 graph - measured, bench.py)
+            K = featT.shape[-1]
+            bk, bb = (2048, 4) if K >= 150_000 else (1024, 4)
             out = fused_uoms_cross_attention(
                 q, featT, mfT, jax.lax.stop_gradient(me), posT.astype(dt),
                 awk, awv, p.k_kernel.astype(dt), ck, cv, present=present,
-                kappa=self.kappa)
+                kappa=self.kappa, block_k=bk, block_b=bb)
             out = merge_heads(l2_normalize(out))
             return proj(out, p.out_kernel, p.out_bias)
         if (self.meanshift and self.use_pallas and mask_logits is not None

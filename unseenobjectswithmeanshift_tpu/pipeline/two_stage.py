@@ -131,22 +131,27 @@ class TwoStagePredictor:
         refined = self._s2_fn(variables_crop, labels, crops, perm, P=P)
         return labels, refined
 
-    def stream(self, variables, variables_crop, batches, osd: bool = False):
+    def stream(self, variables, variables_crop, batches, osd: bool = False,
+               depth: int = 2):
         """Software-pipelined batched inference over an iterable of
-        (image, xyz) batches: stage 1 of batch i+1 is enqueued BEFORE batch i's
-        crop-count sync, so the per-sync host round-trip overlaps device work
-        (the recipe bench.py measures with; ref workload
-        lib/fcn/test_utils.py:339-421 runs one synchronous image at a time).
-        Yields (labels, refined) per input batch, in order, one batch behind."""
+        (image, xyz) batches: stage 1 of the next `depth` batches is enqueued
+        BEFORE batch i's crop-count sync, so the per-sync host round-trip
+        overlaps ~depth batches of buffered device work (the recipe bench.py
+        measures with; ref workload lib/fcn/test_utils.py:339-421 runs one
+        synchronous image at a time). depth=1 suffices on a local chip;
+        depth=2 keeps the device saturated when the host link is slow/jittery
+        (the dev tunnel's sync latency varies 28-45+ ms run to run).
+        Yields (labels, refined) per input batch, in order, `depth` behind."""
+        from collections import deque
+
         self._ensure_bucketed_jits()
-        prev = None
+        pending = deque()
         for (image, xyz) in batches:
-            out = self._s1_fn(variables, image, xyz, osd=osd)
-            if prev is not None:
-                yield self._finish_bucketed(variables_crop, prev)
-            prev = out
-        if prev is not None:
-            yield self._finish_bucketed(variables_crop, prev)
+            pending.append(self._s1_fn(variables, image, xyz, osd=osd))
+            if len(pending) > depth:
+                yield self._finish_bucketed(variables_crop, pending.popleft())
+        while pending:
+            yield self._finish_bucketed(variables_crop, pending.popleft())
 
     def jit_sharded(self, mesh, osd: bool = False, refine: bool = True):
         """Data-parallel serving step over a device mesh: the batch dimension is
