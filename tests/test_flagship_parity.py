@@ -68,6 +68,13 @@ def test_flagship_shape_two_stage_matches_torch_oracle(rng):
             lin = m.sem_seg_head.predictor.mask_embed.layers[2]
             lin.weight *= 30.0
             lin.bias *= 30.0
+            # likewise the class head: random-weight softmax hovers near
+            # 1/(NC+1) for every query, so no instance clears low_threshold
+            # at flagship shape; a decisive class head gives some queries
+            # class-1 probability ~1 (a trained model is decisive here too)
+            cls = m.sem_seg_head.predictor.class_embed
+            cls.weight *= 20.0
+            cls.bias *= 20.0
 
     img = rng.rand(H, W, 3).astype(np.float32) - 0.4
     xyz = (rng.rand(H, W, 3) * 1.5).astype(np.float32)

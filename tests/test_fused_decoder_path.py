@@ -75,3 +75,34 @@ def test_fused_decoder_no_input_proj(rng, monkeypatch):
                                np.asarray(ref["pred_logits"]), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["pred_masks"]),
                                np.asarray(ref["pred_masks"]), atol=2e-3)
+
+
+def test_key_stride_fused_matches_unfused(rng, monkeypatch):
+    """Opt-in key_stride (config.DecoderConfig.key_stride): the fused kernel
+    over strided key layouts must equal the unfused path's strided-subsample
+    formulation exactly; masks stay full-resolution."""
+    monkeypatch.setattr(decoder_mod, "fused_uoms_cross_attention",
+                        partial(fused_uoms_cross_attention, interpret=True,
+                                block_k=32, block_b=2))
+    E, NH, Q, L, MD, IC, FF, NC = 32, 4, 6, 2, 24, 16, 48, 2
+    h = w = 12
+    x = jnp.asarray(rng.randn(2, h, w, IC).astype(np.float32) * 0.5)
+    mf = jnp.asarray(rng.randn(2, h, w, MD).astype(np.float32) * 0.5)
+    kw = dict(num_classes=NC, hidden_dim=E, num_queries=Q, nheads=NH,
+              dim_feedforward=FF, dec_layers=L, mask_dim=MD, in_channels=IC,
+              num_feature_levels=1)
+    dec = MeanShiftDecoder(**kw, use_pallas=False, key_stride=2)
+    variables = dec.init(jax.random.PRNGKey(0), [x], mf)
+    variables = jax.tree_util.tree_map_with_path(
+        lambda p, v: v * 20.0 if any(
+            getattr(k, "key", None) == "layers_2" for k in p) else v, variables)
+    ref = dec.apply(variables, [x], mf)
+    out = MeanShiftDecoder(**kw, use_pallas=True, key_stride=2).apply(
+        variables, [x], mf)
+
+    # masks full-res regardless of key stride
+    assert ref["pred_masks"].shape == (2, Q, h, w)
+    np.testing.assert_allclose(np.asarray(out["pred_logits"]),
+                               np.asarray(ref["pred_logits"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["pred_masks"]),
+                               np.asarray(ref["pred_masks"]), atol=2e-3)

@@ -70,6 +70,13 @@ class DecoderConfig:
     decoder_block_norm: bool = True
     kappa: float = 30.0               # attention_util.py:26 KAPPA
     use_pallas_attention: bool = True  # fused flash kernel for masked cross-attn (TPU only)
+    # OPT-IN inference speedup, NOT the parity configuration (default 1 = off):
+    # subsample the cross-attention KEYS by this stride. The UCN backbone's
+    # feature map is bilinear-upsampled from stride 8 (resnet_dilated.py), so
+    # neighboring keys are interpolates of the same stride-8 grid and a s<=4
+    # subsample removes little information; masks stay full-resolution
+    # (mask_features is not strided). Inference-only; training forces 1.
+    key_stride: int = 1
 
 
 @dataclass

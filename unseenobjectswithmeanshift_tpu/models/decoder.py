@@ -251,6 +251,8 @@ class MeanShiftDecoder(nn.Module):
     decoder_block_norm: bool = True
     kappa: float = 30.0
     use_pallas: bool = False
+    key_stride: int = 1                 # opt-in: subsample attention KEYS (see
+    # config.DecoderConfig.key_stride; masks/mask_features stay full-res)
     use_meanshift_seeds: bool = False   # dormant reference path (:552-568,:904-921)
     materialize_masks: bool = True      # False: fused path returns mask_embed only
     remat: bool = False                 # checkpoint the attention modules (training:
@@ -293,15 +295,30 @@ class MeanShiftDecoder(nn.Module):
                          name=f"input_proj_{l}")
                  for l in range(self.num_feature_levels)] if has_proj else None
 
-        # flatten levels: src (projected + level embed) and positional encodings
+        ks = self.key_stride
+        if ks > 1 and self.num_feature_levels != 1:
+            raise ValueError("key_stride applies to the 1-level (UCN) configs "
+                             "only; the R50 pyramid levels are already strided")
+
+        # flatten levels: src (projected + level embed) and positional encodings.
+        # key_stride > 1: keys/PE are STRIDED SUBSAMPLES of the full-resolution
+        # map (each kept key keeps the exact feature + PE it has at stride 1 -
+        # the trained model's key distribution, just fewer of them); mask
+        # prediction stays full-resolution.
         srcs, poss, poss_flat, sizes = [], [], [], []
+        x_strided = None
         for l, x in enumerate(x_levels):
             h, w = x.shape[1], x.shape[2]
-            sizes.append((h, w))
             pos = position_embedding_sine(h, w, E // 2, dtype=dt)
+            if ks > 1:
+                x = x[:, ::ks, ::ks]
+                pos = pos[::ks, ::ks]
+                h, w = x.shape[1], x.shape[2]
+            sizes.append((h, w))
             poss_flat.append(pos.reshape(h * w, E))
             if fused:
-                continue   # the kernel streams the raw map; nothing to flatten
+                x_strided = x   # the kernel streams the (strided) raw map
+                continue
             poss.append(jnp.broadcast_to(pos.reshape(1, h * w, E), (B, h * w, E)))
             if has_proj:
                 x = projs[l](x)
@@ -311,9 +328,10 @@ class MeanShiftDecoder(nn.Module):
             h, w = sizes[0]
             # K-minor layouts, materialized ONCE per forward (shared by all
             # layers; the kernel streams K tiles with C on sublanes)
-            feat_T = x_levels[0].reshape(B, h * w, -1).astype(dt).transpose(0, 2, 1)
+            feat_T = x_strided.reshape(B, h * w, -1).astype(dt).transpose(0, 2, 1)
+            mf_attn = mask_features[:, ::ks, ::ks] if ks > 1 else mask_features
             mfc = mask_features.shape[-1]
-            mf_T = mask_features.reshape(B, h * w, mfc).astype(dt).transpose(0, 2, 1)
+            mf_T = mf_attn.reshape(B, h * w, mfc).astype(dt).transpose(0, 2, 1)
             pos_T = poss_flat[0].T
             if has_proj:
                 win, b_in = projs[0].raw()
@@ -350,7 +368,11 @@ class MeanShiftDecoder(nn.Module):
             # raw mask logits at the next level's size; the attention mask is
             # sigmoid(m) < 0.5 <=> m < 0 (resolved in the attention op / kernel)
             m = outputs_mask
-            if attn_mask_target_size != m.shape[-2:]:
+            if self.key_stride > 1:
+                # strided subsample == computing me x mask_features at the kept
+                # key positions (what the fused kernel does); NOT a resize
+                m = m[:, :, ::self.key_stride, ::self.key_stride]
+            elif attn_mask_target_size != m.shape[-2:]:
                 m = resize_bilinear(m[..., None], attn_mask_target_size,
                                     align_corners=False)[..., 0]
             mask_logits = jax.lax.stop_gradient(m).reshape(B, Q, -1)

@@ -113,6 +113,7 @@ class MSMFormer(nn.Module):
             disable_attention_mask=d.disable_attention_mask,
             decoder_block_norm=d.decoder_block_norm, kappa=d.kappa,
             use_pallas=use_pallas, materialize_masks=not light,
+            key_stride=1 if train else d.key_stride,
             remat=train and c.train_remat_attention,
             dtype=self.dtype, name="predictor")
         outputs = decoder(multi_scale, mask_features, present=present)
@@ -220,6 +221,7 @@ class StandardMaskFormer(nn.Module):
             disable_attention_mask=d.disable_attention_mask,
             decoder_block_norm=d.decoder_block_norm, kappa=d.kappa,
             use_pallas=use_pallas, materialize_masks=not light,
+            key_stride=1 if train else d.key_stride,
             remat=train and c.train_remat_attention,
             dtype=self.dtype,
             name="predictor")
