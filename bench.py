@@ -7,13 +7,14 @@ an on-device Pallas-kernel-vs-reference check, and the crop-slot occupancy
 (random weights are the conservative case only when slots fill; the occupancy
 line makes the measured regime explicit), then ONE JSON line (last).
 
-vs_baseline: the reference publishes no throughput numbers (SURVEY.md section 6).
-The driver's north star is >= 5x an H100 running the reference's batch-1,
-host-looped two-stage PyTorch pipeline. That reference is DERIVED at 8 img/s in
-BASELINE.md ("Derived H100 reference throughput": measured 642 GF stage-1 +
-118 GF/crop forwards, ~800-launch eager decoder overhead, and the serialized
-per-RoI host loop at ~8 instances/image), making the target 40 img/s/chip.
-vs_baseline = measured / 40.0.
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md section 6),
+so the baseline is the DERIVED throughput of an H100 running the reference's
+batch-1, host-looped two-stage PyTorch pipeline: 8 img/s (BASELINE.md "Derived
+H100 reference throughput": measured 642 GF stage-1 + 118 GF/crop forwards,
+~800-launch eager decoder overhead, and the serialized per-RoI host loop at
+~8 instances/image). vs_baseline = measured / 8.0 - i.e. this chip vs the
+reference implementation on its own best hardware. The separate 5x stretch
+target (40 img/s/chip) is tracked as "vs_target" in the breakdown line.
 """
 
 import json
@@ -147,11 +148,13 @@ def main():
           f"of {B * T} slots (bucketed compaction)")
 
     img_per_sec = B / dt_full
+    print(f"# vs_target (5x stretch, {TARGET:.0f} img/s): "
+          f"{img_per_sec / TARGET:.4f}")
     print(json.dumps({
         "metric": "ocid_640x480_rgbd_two_stage_images_per_sec_per_chip",
         "value": round(img_per_sec, 3),
         "unit": "images/sec",
-        "vs_baseline": round(img_per_sec / TARGET, 4),
+        "vs_baseline": round(img_per_sec / H100_REFERENCE_IMG_PER_SEC, 4),
     }))
 
 

@@ -9,6 +9,10 @@ config.DecoderConfig.key_stride for the opt-in contract (NOT the parity
 configuration).
 """
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 from collections import deque
 
@@ -55,27 +59,74 @@ def measure(pred, v1, v2, img, xyz):
     return dt, labels, refined
 
 
-def run(ks):
+def decisive(variables):
+    """Scale the mask/class heads so logits are decisive - the trained-model
+    regime (a trained segmenter's masks are far from the 0-logit binarization
+    threshold; random weights sit ON it and amplify any perturbation). Same
+    technique as tests/test_e2e_parity.py."""
+    def scale(path, v):
+        keys = [getattr(k, "key", "") for k in path]
+        if "mask_embed" in keys and "layers_2" in keys:
+            return v * 30.0
+        if "class_embed" in keys:
+            return v * 20.0
+        return v
+    return jax.tree_util.tree_map_with_path(scale, variables)
+
+
+def run(ks, make_decisive=False):
     cfg = get_config("tabletop_pretrained")
     cfg_crop = get_config("crop_tabletop_pretrained")
     cfg.decoder.key_stride = ks
     cfg_crop.decoder.key_stride = ks
     pred = TwoStagePredictor(cfg, cfg_crop, dtype=jnp.bfloat16)
     v1, v2 = pred.init(jax.random.PRNGKey(0), (H, W), crop_size=cfg.test.crop_size)
+    if make_decisive:
+        v1, v2 = decisive(v1), decisive(v2)
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     xyz = jnp.asarray((rng.rand(B, H, W, 3) * 2).astype(np.float32))
     dt, labels, refined = measure(pred, v1, v2, img, xyz)
-    print(f"key_stride={ks}: {dt * 1000:7.2f} ms/batch  "
+    tag = " [decisive heads]" if make_decisive else ""
+    print(f"key_stride={ks}{tag}: {dt * 1000:7.2f} ms/batch  "
           f"({B / dt:6.2f} img/s)", flush=True)
     return dt, labels, refined
+
+
+def mean_best_iou(a, b):
+    """Permutation-invariant instance overlap: for each instance mask in `a`,
+    the best IoU against any instance in `b` (refined labels are renumbered by
+    depth/size order, so pixel equality is the wrong metric there - a single
+    added/dropped stage-1 instance shifts every downstream label id)."""
+    ious = []
+    for i in range(a.shape[0]):
+        ids_a = [v for v in np.unique(a[i]) if v >= 2]
+        ids_b = [v for v in np.unique(b[i]) if v >= 2]
+        for va in ids_a:
+            ma = a[i] == va
+            best = 0.0
+            for vb in ids_b:
+                mb = b[i] == vb
+                inter = np.logical_and(ma, mb).sum()
+                union = np.logical_or(ma, mb).sum()
+                best = max(best, inter / union if union else 0.0)
+            ious.append(best)
+    return float(np.mean(ious)) if ious else 1.0
 
 
 if __name__ == "__main__":
     d1, l1, r1 = run(1)
     for ks in (2, 4):
         d, l, r = run(ks)
-        print(f"  vs stride 1: {d1 / d:.2f}x speedup; label agreement "
-              f"stage1={np.mean(l == l1):.4f} refined={np.mean(r == r1):.4f} "
+        print(f"  vs stride 1: {d1 / d:.2f}x speedup; stage-1 pixel agreement "
+              f"{np.mean(l == l1):.4f}; refined mean best-IoU "
+              f"{mean_best_iou(r1, r):.4f} "
               f"(random weights = worst case: mask logits sit near the "
               f"binarization threshold)", flush=True)
+    # quality proxy at the TRAINED-model operating point (decisive heads):
+    _, l1d, r1d = run(1, make_decisive=True)
+    for ks in (2, 4):
+        _, l, r = run(ks, make_decisive=True)
+        print(f"  decisive stride {ks} vs 1: stage-1 pixel agreement "
+              f"{np.mean(l == l1d):.4f}; refined mean best-IoU "
+              f"{mean_best_iou(r1d, r):.4f}", flush=True)

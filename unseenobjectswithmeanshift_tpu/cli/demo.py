@@ -34,7 +34,8 @@ def build_predictor(args):
     pred, v1, v2, cfg, _ = build_two_stage_predictor(
         preset, checkpoint=args.checkpoint, checkpoint_crop=args.checkpoint_crop,
         bf16=args.bf16, no_depth=args.no_depth,
-        image_shape=(args.height, args.width))
+        image_shape=(args.height, args.width),
+        key_stride=getattr(args, "key_stride", 1))
     return pred, v1, v2, cfg
 
 
@@ -51,6 +52,9 @@ def main(argv=None):
     p.add_argument("--no-depth", action="store_true")
     p.add_argument("--no-refine", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--key-stride", type=int, default=1,
+                   help="opt-in fast serving: subsample attention keys "
+                        "(NOT the parity configuration)")
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--out", default=None, help="directory for -label.png outputs")

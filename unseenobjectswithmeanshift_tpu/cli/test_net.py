@@ -53,6 +53,10 @@ def main(argv=None):
     p.add_argument("--no-refine", action="store_true")
     p.add_argument("--no-depth", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--key-stride", type=int, default=1,
+                   help="opt-in fast serving: subsample attention keys "
+                        "(NOT the parity configuration; see "
+                        "config.DecoderConfig.key_stride)")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--save-mat", default=None,
@@ -114,7 +118,7 @@ def main(argv=None):
         pred, v1, v2, cfg, _ = build_two_stage_predictor(
             preset, crop_preset=args.crop_config, checkpoint=args.checkpoint,
             checkpoint_crop=args.checkpoint_crop, bf16=args.bf16,
-            no_depth=args.no_depth)
+            no_depth=args.no_depth, key_stride=args.key_stride)
         stream = lambda batches: pred.stream(v1, v2, batches, osd=osd)
         if args.no_refine:
             stream = lambda batches: (

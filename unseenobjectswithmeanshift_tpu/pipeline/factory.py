@@ -59,6 +59,7 @@ def build_two_stage_predictor(
         no_depth: bool = False,
         rng_seed: int = 0,
         image_shape: Tuple[int, int] = (480, 640),
+        key_stride: int = 1,
 ):
     """Build (predictor, variables, variables_crop, cfg, cfg_crop) for any
     preset in the matrix - UCN-backbone, ResNet50 or Swin (the crop network
@@ -79,6 +80,13 @@ def build_two_stage_predictor(
             cfg_crop.backbone.input_type = "COLOR"
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     cfg.dtype = cfg_crop.dtype = "bfloat16" if bf16 else "float32"
+    if key_stride > 1:
+        # opt-in fast serving (config.DecoderConfig.key_stride): NOT the
+        # parity configuration; applies to the 1-level (UCN-backbone) decoders
+        if cfg.decoder.num_feature_levels == 1:
+            cfg.decoder.key_stride = key_stride
+        if cfg_crop.decoder.num_feature_levels == 1:
+            cfg_crop.decoder.key_stride = key_stride
 
     pred = TwoStagePredictor(cfg, cfg_crop, dtype=dtype)
     if checkpoint:
