@@ -133,3 +133,15 @@ def test_factory_builds_flagship(rng):
     assert cfg.name == "tabletop_pretrained"
     assert cfg_crop.name == "crop_tabletop_pretrained"
     assert "params" in v1 and "params" in v2
+
+
+def test_factory_key_stride_opt_in():
+    """key_stride= reaches the 1-level (UCN-backbone) decoder configs and is
+    left off the 3-level (R50) decoder, which has no strided path."""
+    _, _, _, cfg, cfg_crop = build_two_stage_predictor(
+        "tabletop_pretrained", image_shape=(64, 64), key_stride=2)
+    assert cfg.decoder.key_stride == 2
+    assert cfg_crop.decoder.key_stride == 2
+    _, _, _, cfg, _ = build_two_stage_predictor(
+        "tabletop_pretrained", image_shape=(64, 64))
+    assert cfg.decoder.key_stride == 1

@@ -64,3 +64,31 @@ def test_msdeform_module_shapes(rng):
     assert out.shape == (B, Lq, C)
     # zero-init offset kernel + reference bias -> offsets depend only on bias
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_core_packed_matches_gather_core(rng):
+    """The packed-window core is the gather core's drop-in serving fast path:
+    identical tap values/masks/lerp weights, including far-out-of-range
+    locations (both formulations must zero them)."""
+    from unseenobjectswithmeanshift_tpu.ops.ms_deform_attn import (
+        ms_deform_attn_core_packed,
+    )
+    B, H, D, Lq, P = 2, 4, 8, 23, 4
+    shapes = [(12, 16), (6, 8), (3, 4)]
+    L = len(shapes)
+    Len = sum(h * w for h, w in shapes)
+    value = rng.randn(B, Len, H, D).astype(np.float32)
+    # heavy OOB coverage: in-range, border-straddling, and far outside
+    locs = rng.rand(B, Lq, H, L, P, 2).astype(np.float32) * 3.0 - 1.0
+    weights = rng.rand(B, Lq, H, L, P).astype(np.float32)
+
+    want = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(weights)))
+    got = np.asarray(ms_deform_attn_core_packed(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(weights)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    ref = torch_ms_deform_attn_core(
+        torch.from_numpy(value), shapes, torch.from_numpy(locs),
+        torch.from_numpy(weights)).numpy()
+    np.testing.assert_allclose(got, ref, atol=2e-5)

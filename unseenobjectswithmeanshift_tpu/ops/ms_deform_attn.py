@@ -79,6 +79,68 @@ def ms_deform_attn_core(value, value_spatial_shapes, sampling_locations,
     return out.reshape(B, Lq, NH * D)
 
 
+def ms_deform_attn_core_packed(value, value_spatial_shapes, sampling_locations,
+                               attention_weights):
+    """Packed-window formulation of `ms_deform_attn_core` (same contract,
+    numerically equivalent): per level the value map is expanded once into a
+    [(h+1)*(w+1), 4*D] tensor of 2x2 neighborhoods (zero-padded border ring),
+    so the four bilinear taps of every sample become ONE contiguous row gather
+    instead of four independent gathers. TPU gathers cost ~per row, so 4x wider
+    rows at 1/4 the row count is a large win (same trick as the criterion's
+    packed-window point_sample). Memory: 4x the per-level value map, transient.
+
+    Tap semantics match the gather core exactly: grid_sample
+    align_corners=False with zero padding. Coordinates whose floor cell lies
+    fully outside [-1, h] x [-1, w] are clipped onto the zero ring and masked.
+    """
+    B, _, NH, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    splits = [h * w for h, w in value_spatial_shapes]
+    offsets = [0]
+    for s in splits:
+        offsets.append(offsets[-1] + s)
+
+    out = jnp.zeros((B, Lq, NH, D), value.dtype)
+    for l, (h, w) in enumerate(value_spatial_shapes):
+        vl = value[:, offsets[l]:offsets[l + 1]]
+        vl = vl.reshape(B, h, w, NH, D).transpose(0, 3, 1, 2, 4)  # [B,NH,h,w,D]
+        vp = jnp.pad(vl, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        # windows[yy, xx] = the 2x2 cell whose top-left tap is (yy-1, xx-1)
+        win = jnp.stack([vp[:, :, :-1, :-1], vp[:, :, :-1, 1:],
+                         vp[:, :, 1:, :-1], vp[:, :, 1:, 1:]], axis=-2)
+        win = win.reshape(B, NH, (h + 1) * (w + 1), 4 * D)
+
+        loc = sampling_locations[:, :, :, l]                 # [B, Lq, NH, P, 2]
+        x = loc[..., 0].transpose(0, 2, 1, 3) * w - 0.5      # [B, NH, Lq, P]
+        y = loc[..., 1].transpose(0, 2, 1, 3) * h - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        xi = jnp.clip(x0, -1, w - 1)
+        yi = jnp.clip(y0, -1, h - 1)
+        # a clipped cell came from outside [-1, h-1] x [-1, w-1]: all four taps
+        # of the true zero-padded sample are zero there, but the clipped window
+        # straddles one real row/column - mask the whole row instead.
+        valid = ((x0 == xi) & (y0 == yi))
+        idx = ((yi + 1) * (w + 1) + (xi + 1)).reshape(B, NH, Lq * P)
+
+        rows = jnp.take_along_axis(win, idx[..., None], axis=2)
+        rows = rows.reshape(B, NH, Lq, P, 4, D)
+        rows = jnp.where(valid[..., None, None], rows, 0.0)
+
+        wx = (x - x0).astype(jnp.float32)
+        wy = (y - y0).astype(jnp.float32)
+        tapw = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
+                          wy * (1 - wx), wy * wx], axis=-1)  # [B,NH,Lq,P,4]
+        # fold the softmaxed attention weight into the tap weights so one
+        # einsum reduces both the 4 taps and the P points
+        aw = attention_weights[:, :, :, l].transpose(0, 2, 1, 3)  # [B,NH,Lq,P]
+        w4 = (tapw * aw[..., None].astype(jnp.float32)).astype(rows.dtype)
+        out = out + jnp.einsum(
+            "bhqptd,bhqpt->bqhd", rows, w4,
+            precision=jax.lax.Precision.HIGHEST).astype(out.dtype)
+    return out.reshape(B, Lq, NH * D)
+
+
 def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
     """Reference init: per-head unit directions at angles 2*pi*h/H, scaled by
     point index (ref: ops/modules/ms_deform_attn.py _reset_parameters)."""
@@ -137,6 +199,7 @@ class MSDeformAttn(nn.Module):
         locations = (reference_points[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
 
-        out = ms_deform_attn_core(value, spatial_shapes, locations, weights)
+        out = ms_deform_attn_core_packed(value, spatial_shapes, locations,
+                                         weights)
         return nn.Dense(self.d_model, dtype=self.dtype, precision=prec,
                         name="output_proj")(out)
