@@ -1,0 +1,106 @@
+"""Plot training/eval metric curves from one or more runs' metrics.jsonl.
+
+The generic equivalent of the reference's tools/plot_epochs.py (which plots
+hardcoded per-epoch F-measure arrays for the UCN input-mode comparison): give
+it the metrics.jsonl files the trainers write (utils/metrics_log.py) and it
+renders loss curves and the eval metric curves (Objects/Boundary F-measure,
+obj_detected_075_percentage) per run.
+
+    python -m unseenobjectswithmeanshift_tpu.cli.plot_epochs \
+        runs/rgbd/metrics.jsonl runs/depth/metrics.jsonl \
+        --labels RGBD DEPTH --out curves.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+# categorical palette (validated colorblind-safe order; see the dataviz palette
+# reference): blue, orange, aqua, yellow, magenta, green, violet, red
+CATEGORICAL = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100",
+               "#e87ba4", "#008300", "#4a3aa7", "#e34948"]
+INK = "#333333"
+MUTED = "#767676"
+GRID = "#e3e3e3"
+
+EVAL_KEYS = [
+    ("Objects F-measure", "Objects F"),
+    ("Boundary F-measure", "Boundary F"),
+    ("obj_detected_075_percentage", "% detected @0.75"),
+]
+LOSS_KEYS = ["total_loss", "loss_ce", "loss_mask", "loss_dice", "loss"]
+
+
+def _style(ax, title):
+    ax.set_title(title, color=INK, fontsize=11)
+    ax.grid(True, color=GRID, linewidth=0.6)
+    ax.tick_params(colors=MUTED, labelsize=8)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_color(GRID)
+    ax.set_xlabel("iteration", color=MUTED, fontsize=9)
+
+
+def main(argv=None):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..utils.metrics_log import read_metrics, series
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("logs", nargs="+", help="metrics.jsonl file(s), one per run")
+    p.add_argument("--labels", nargs="*", default=None,
+                   help="legend label per run (default: parent dir name)")
+    p.add_argument("--out", default="epochs.png")
+    args = p.parse_args(argv)
+
+    labels = args.labels or [
+        os.path.basename(os.path.dirname(os.path.abspath(f))) or f
+        for f in args.logs]
+    if len(labels) != len(args.logs):
+        raise SystemExit("--labels must match the number of log files")
+    runs = [(lab, read_metrics(f)) for lab, f in zip(labels, args.logs)]
+
+    have_eval = any(any(r.get("kind") == "eval" for r in recs)
+                    for _, recs in runs)
+    panels = [(k, t) for k, t in EVAL_KEYS if have_eval and any(
+        any(k in r for r in recs) for _, recs in runs)]
+
+    n = 1 + len(panels)
+    fig, axes = plt.subplots(1, n, figsize=(4.2 * n, 3.4), dpi=120)
+    axes = [axes] if n == 1 else list(axes)
+
+    # one categorical slot per RUN (identity follows the run across panels)
+    ax = axes[0]
+    loss_key = next((k for k in LOSS_KEYS if any(
+        any(k in r for r in recs if r.get("kind") == "train")
+        for _, recs in runs)), None)
+    for i, (lab, recs) in enumerate(runs):
+        xs, ys = series([r for r in recs if r.get("kind") == "train"],
+                        loss_key or "total_loss")
+        if xs:
+            ax.plot(xs, ys, color=CATEGORICAL[i % len(CATEGORICAL)],
+                    linewidth=1.6, label=lab)
+    _style(ax, loss_key or "loss")
+    if len(runs) > 1:
+        ax.legend(frameon=False, fontsize=8, labelcolor=INK)
+
+    for ax, (key, title) in zip(axes[1:], panels):
+        for i, (lab, recs) in enumerate(runs):
+            xs, ys = series([r for r in recs if r.get("kind") == "eval"], key)
+            if xs:
+                ax.plot(xs, ys, color=CATEGORICAL[i % len(CATEGORICAL)],
+                        linewidth=1.6, marker="o", markersize=3.2, label=lab)
+        _style(ax, title)
+        ax.set_ylim(0, 1)
+
+    fig.tight_layout()
+    fig.savefig(args.out, facecolor="white")
+    print(f"wrote {args.out} ({n} panel(s), {len(runs)} run(s))")
+
+
+if __name__ == "__main__":
+    main()

@@ -108,12 +108,16 @@ def main(argv=None):
                 xyz = jnp.asarray(s["xyz"][None])
                 lab = np.asarray(labels_jit(variables, img, xyz))[0]
                 ms.append(multilabel_metrics(lab, s["label"]))
-            print(print_metrics(aggregate_metrics(ms)), flush=True)
+            agg = aggregate_metrics(ms)
+            print_metrics(agg)
+            return agg
 
     mesh = make_mesh()
     print(f"mesh: {mesh.devices.shape} devices")
     step_fn = trainer.jit_train_step(mesh)
     os.makedirs(args.output, exist_ok=True)
+    from ..utils.metrics_log import MetricsLogger
+    mlog = MetricsLogger(args.output)
 
     with mesh:
         state = replicate(mesh, state)
@@ -140,8 +144,10 @@ def main(argv=None):
                           f"mask {float(metrics['loss_mask']):.4f} "
                           f"dice {float(metrics['loss_dice']):.4f} "
                           f"({dt:.2f}s/it)", flush=True)
+                    mlog.log_train(it, {k: float(v)
+                                        for k, v in metrics.items()})
                 if eval_fn is not None and it % args.eval_period == 0:
-                    eval_fn(state)
+                    mlog.log_eval(it, eval_fn(state))
                 if it % args.checkpoint_period == 0 or it == args.iters:
                     path = os.path.join(args.output, f"checkpoint_{it:07d}")
                     checkpoint_io.save(path, state)

@@ -103,6 +103,8 @@ def main(argv=None):
                       out_shardings=repl)
 
     os.makedirs(args.output, exist_ok=True)
+    from ..utils.metrics_log import MetricsLogger
+    mlog = MetricsLogger(args.output)
     infix = f"seg_resnet34_8s_embedding_cosine_{args.input.lower()}"
     if args.input == "RGBD":
         infix += f"_{args.fusion}"
@@ -126,6 +128,11 @@ def main(argv=None):
                     print(f"epoch {epoch + 1}/{args.epochs} iter {i + 1} "
                           f"loss {float(loss):.4f} intra {float(intra):.4f} "
                           f"inter {float(inter):.4f} ({dt:.2f}s/it)", flush=True)
+                    mlog.log_train(epoch * len(loader) + i + 1,
+                                   {"loss": float(loss),
+                                    "loss_intra": float(intra),
+                                    "loss_inter": float(inter),
+                                    "epoch": epoch + 1})
             path = os.path.join(args.output, f"{infix}_epoch_{epoch + 1}.checkpoint")
             checkpoint_io.save(path, {"params": params, "batch_stats": batch_stats})
             print(f"saved {path}")

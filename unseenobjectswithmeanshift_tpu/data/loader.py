@@ -70,6 +70,12 @@ class BatchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
 
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
     def _produce(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
