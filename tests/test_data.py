@@ -144,3 +144,19 @@ def test_fov_intrinsics_matches_reference_formula():
 def test_pad_hw():
     a = np.ones((30, 33, 3))
     assert pad_hw(a, 32).shape == (32, 64, 3)
+
+
+def test_dataset_statistics_cli_with_view(tod_tree, tmp_path, capsys):
+    """dataset_statistics prints the instance histogram and --view writes
+    triptych sample visualizations (the view_tabletop_data equivalent)."""
+    from unseenobjectswithmeanshift_tpu.cli.dataset_statistics import main
+
+    out = tmp_path / "views"
+    main(["--dataset", "tabletop_object", "--root", tod_tree, "--split", "train",
+          "--limit", "4", "--view", "2", "--view-out", str(out)])
+    text = capsys.readouterr().out
+    assert "mean:" in text and "2 instances" in text
+    pngs = sorted(out.glob("sample_*.png"))
+    assert len(pngs) == 2
+    img = cv2.imread(str(pngs[0]))
+    assert img.shape == (64, 64 * 3, 3)   # RGB | depth | overlay triptych
