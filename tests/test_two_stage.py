@@ -101,3 +101,66 @@ def test_sharded_serving_matches_single_device(tiny_predictor, rng):
                                  shard_batch(mesh, img), shard_batch(mesh, xyz))
     np.testing.assert_array_equal(np.asarray(labels_s), np.asarray(labels_ref))
     np.testing.assert_array_equal(np.asarray(refined_s), np.asarray(refined_ref))
+
+
+def test_sp_sharded_serving_matches_single_device(tiny_predictor, rng):
+    """Spatially-sharded (image height over 'sp') single-image inference must
+    match the unsharded path - GSPMD inserts the conv halo exchanges and the
+    cross-shard reductions; numerics are exact because the partitioned graph
+    computes the same sums."""
+    from unseenobjectswithmeanshift_tpu.parallel.mesh import (
+        make_mesh, replicate, spatial_sharding,
+    )
+
+    pred, v1, v2 = tiny_predictor
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+
+    labels_ref, refined_ref = jax.jit(
+        pred._forward, static_argnames=("osd", "refine"))(
+        v1, v2, img, xyz, osd=False, refine=True)
+
+    mesh = make_mesh(axis_name="sp")
+    with mesh:
+        fn = pred.jit_sharded_sp(mesh)
+        sp = spatial_sharding(mesh)
+        labels_s, refined_s = fn(replicate(mesh, v1), replicate(mesh, v2),
+                                 jax.device_put(img, sp),
+                                 jax.device_put(xyz, sp))
+    np.testing.assert_array_equal(np.asarray(labels_s), np.asarray(labels_ref))
+    np.testing.assert_array_equal(np.asarray(refined_s),
+                                  np.asarray(refined_ref))
+
+
+def test_dp_x_sp_2d_mesh_serving(tiny_predictor, rng):
+    """Mixed regime: a 2-D mesh shards batch over 'dp' AND image height over
+    'sp' in one jit - the deployment shape for serving many cameras on a pod
+    slice. Must equal the unsharded graph."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    pred, v1, v2 = tiny_predictor
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    xyz = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+
+    labels_ref, refined_ref = jax.jit(
+        pred._forward, static_argnames=("osd", "refine"))(
+        v1, v2, img, xyz, osd=False, refine=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    dsp = NamedSharding(mesh, P("dp", "sp"))
+    rep = NamedSharding(mesh, P())
+    from functools import partial
+    with mesh:
+        fn = jax.jit(partial(pred._forward, osd=False, refine=True),
+                     in_shardings=(rep, rep, dsp, dsp),
+                     out_shardings=(dsp, dsp))
+        labels_s, refined_s = fn(
+            jax.device_put(v1, rep), jax.device_put(v2, rep),
+            jax.device_put(img, dsp), jax.device_put(xyz, dsp))
+    np.testing.assert_array_equal(np.asarray(labels_s), np.asarray(labels_ref))
+    np.testing.assert_array_equal(np.asarray(refined_s),
+                                  np.asarray(refined_ref))

@@ -10,6 +10,18 @@ no hand-written psum required.
 
 The mesh is built once per process; multi-host setups extend the same mesh over
 jax.distributed-initialized device sets.
+
+Parallelism menu for this model family (and why):
+- dp (batch): training gradients + serving throughput (`jit_sharded`).
+- sp (image height): single-image serving latency (`jit_sharded_sp`) - GSPMD
+  conv halo exchanges + psums; no reference equivalent. dp x sp composes on a
+  2-D mesh (tested).
+- tp/pp/ep: deliberately not built. The largest model here is ~45M params
+  (ResNet50 + decoder) - it fits in a fraction of one chip's HBM, so tensor/
+  pipeline sharding would only add collective latency, and there are no
+  experts to route. If a future backbone outgrows HBM, the decoder's
+  fixed-max-softmax attention is psum-friendly (sharding K needs a single
+  (num, den) psum, no cross-device running max).
 """
 
 from __future__ import annotations
@@ -44,3 +56,13 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = "dp"):
 def replicate(mesh: Mesh, tree):
     s = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def spatial_sharding(mesh: Mesh, axis_name: str = "sp") -> NamedSharding:
+    """Shard the image HEIGHT dimension of [B, H, W, C] inputs (sequence/
+    spatial parallelism). Under jit, GSPMD partitions the convolutions with
+    automatic halo exchanges and turns the decoder's key/value reductions into
+    psums over the axis - multi-chip then improves single-image LATENCY, which
+    data parallelism cannot (the reference has no equivalent; its
+    DataParallel eval only scales batch throughput)."""
+    return NamedSharding(mesh, P(None, axis_name))

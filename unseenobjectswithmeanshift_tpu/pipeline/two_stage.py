@@ -170,6 +170,27 @@ class TwoStagePredictor:
         return jax.jit(fn, in_shardings=(rep, rep, bs, bs),
                        out_shardings=(bs, bs))
 
+    def jit_sharded_sp(self, mesh, osd: bool = False, refine: bool = True):
+        """Spatially-sharded serving step: the image HEIGHT axis is sharded on
+        the mesh's 'sp' axis and parameters are replicated, so N chips cut the
+        latency of ONE image - the orthogonal regime to `jit_sharded`'s
+        batch-throughput scaling. GSPMD does the heavy lifting the TPU way:
+        convolutions get automatic halo exchanges, the decoder's key/value
+        contractions and the per-label reductions in the postprocess become
+        psums over 'sp' (no NCCL-style hand-written communication; the
+        reference has no single-image parallelism at all). Outputs are returned
+        with the same height sharding.
+
+        Batch stays unsharded (use B=1 for pure latency scaling, or a 2-D
+        dp x sp mesh via jit_sharded for mixed regimes)."""
+        from ..parallel.mesh import replicated, spatial_sharding
+
+        sp = spatial_sharding(mesh)
+        rep = replicated(mesh)
+        fn = partial(self._forward, osd=osd, refine=refine)
+        return jax.jit(fn, in_shardings=(rep, rep, sp, sp),
+                       out_shardings=(sp, sp))
+
     def _stage1_labels_batch(self, variables, image, xyz, osd: bool):
         """Stage-1 network + per-image postprocess -> [B, H, W] labels."""
         cfg = self.cfg
