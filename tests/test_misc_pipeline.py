@@ -84,3 +84,15 @@ def test_streaming_service_sync(rng):
     result = svc.process_frame(bgr, depth, frame_id="f0")
     assert result["label"].shape == (32, 32)
     assert got and got[0]["frame_id"] == "f0"
+
+
+def test_latest_checkpoint_ordering(tmp_path):
+    """resume picks the NEWEST checkpoint_* (zero-padded names sort
+    lexicographically) and its iteration parses from the suffix."""
+    import os
+
+    for it in (100, 2000, 350):
+        os.makedirs(tmp_path / f"checkpoint_{it:07d}")
+    latest = checkpoint_io.latest_checkpoint(str(tmp_path))
+    assert latest.endswith("checkpoint_0002000")
+    assert int(os.path.basename(latest).split("_")[-1]) == 2000

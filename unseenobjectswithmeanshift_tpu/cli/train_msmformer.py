@@ -39,6 +39,10 @@ def main(argv=None):
                         "0 = disabled, matching every shipped config)")
     p.add_argument("--eval-samples", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the newest checkpoint_* in --output and "
+                        "continue from its iteration (detectron2 "
+                        "resume_or_load equivalent)")
     args = p.parse_args(argv)
 
     import jax
@@ -73,6 +77,17 @@ def main(argv=None):
         bs["pretrained_backbone"] = bb["batch_stats"]
         state = state.replace(params=params, batch_stats=bs)
         print(f"initialized UCN backbone from {args.init_backbone}")
+
+    start_it = 0
+    if args.resume:
+        latest = checkpoint_io.latest_checkpoint(args.output)
+        if latest:
+            state = checkpoint_io.restore(latest, jax.device_get(state))
+            start_it = int(os.path.basename(latest).split("_")[-1])
+            print(f"resumed from {latest} (iteration {start_it})")
+        else:
+            print(f"--resume: no checkpoint_* under {args.output}, "
+                  "starting fresh")
 
     eval_fn = None
     if args.eval_period > 0:
@@ -121,7 +136,7 @@ def main(argv=None):
 
     with mesh:
         state = replicate(mesh, state)
-        it = 0
+        it = start_it
         t0 = time.perf_counter()
         while it < args.iters:
             for batch in loader:

@@ -37,6 +37,12 @@ def main(argv=None):
                    help="per-cluster pixel sampling (EMBEDDING_SAMPLING)")
     p.add_argument("--output", default="./output_ucn")
     p.add_argument("--log-period", type=int, default=20)
+    p.add_argument("--pretrained", default=None,
+                   help="orbax snapshot (an *_epoch_N.checkpoint dir) to "
+                        "continue from (ref: tools/train_net.py --pretrained)")
+    p.add_argument("--start-epoch", type=int, default=0,
+                   help="epoch numbering offset when continuing "
+                        "(ref: --startepoch)")
     args = p.parse_args(argv)
 
     import jax
@@ -65,6 +71,12 @@ def main(argv=None):
     xyz0 = img0 if cfg.use_depth else None
     variables = model.init(jax.random.PRNGKey(0), img0, xyz0, train=False)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    if args.pretrained:
+        tmpl = jax.device_get({"params": params, "batch_stats": batch_stats})
+        restored = checkpoint_io.restore(args.pretrained, tmpl)
+        params, batch_stats = restored["params"], restored["batch_stats"]
+        print(f"continuing from {args.pretrained}")
 
     # SGD + momentum + weight decay + MultiStepLR (tools/train_net.py:111-148)
     boundaries = {m * (len(dataset) // args.batch): args.gamma
@@ -117,7 +129,7 @@ def main(argv=None):
         params = replicate(mesh, params)
         batch_stats = replicate(mesh, batch_stats)
         opt_state = replicate(mesh, opt_state)
-        for epoch in range(args.epochs):
+        for epoch in range(args.start_epoch, args.epochs):
             t0 = time.perf_counter()
             for i, batch in enumerate(loader):
                 batch = shard_batch(mesh, batch)

@@ -89,6 +89,22 @@ class UCNPredictor:
                                   static_argnames=("depth_threshold",))
             self._s2_fn = jax.jit(self._stage2_refine, static_argnames=("P",))
 
+    def jit_sharded(self, mesh, depth_threshold: float = 0.8,
+                    refine: bool = True):
+        """Data-parallel UCN serving over a 'dp' mesh: batch sharded, params
+        replicated, single-graph path (crop work stays device-local) - same
+        contract as TwoStagePredictor.jit_sharded."""
+        from functools import partial
+
+        from ..parallel.mesh import batch_sharding, replicated
+
+        bs = batch_sharding(mesh)
+        rep = replicated(mesh)
+        fn = partial(self._forward, depth_threshold=depth_threshold,
+                     refine=refine, first_seed_idx=0)
+        return jax.jit(fn, in_shardings=(rep, rep, bs, bs),
+                       out_shardings=(bs, bs))
+
     def _finish_bucketed(self, variables_crop, s1_out, first_seed_idx=0):
         import numpy as np
 
