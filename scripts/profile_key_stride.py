@@ -94,23 +94,30 @@ def run(ks, make_decisive=False):
 
 
 def mean_best_iou(a, b):
-    """Permutation-invariant instance overlap: for each instance mask in `a`,
-    the best IoU against any instance in `b` (refined labels are renumbered by
-    depth/size order, so pixel equality is the wrong metric there - a single
-    added/dropped stage-1 instance shifts every downstream label id)."""
+    """Permutation-invariant SYMMETRIC instance overlap: best-IoU matches in
+    BOTH directions (a->b and b->a), averaged - one-directional matching would
+    never penalize extra/hallucinated instances on either side. (Refined
+    labels are renumbered by depth/size order, so pixel equality is the wrong
+    metric - a single added/dropped stage-1 instance shifts every downstream
+    label id.)"""
+    def one_way(x, y, i):
+        ids_x = [v for v in np.unique(x[i]) if v >= 2]
+        ids_y = [v for v in np.unique(y[i]) if v >= 2]
+        out = []
+        for vx in ids_x:
+            mx = x[i] == vx
+            best = 0.0
+            for vy in ids_y:
+                my = y[i] == vy
+                inter = np.logical_and(mx, my).sum()
+                union = np.logical_or(mx, my).sum()
+                best = max(best, inter / union if union else 0.0)
+            out.append(best)
+        return out
+
     ious = []
     for i in range(a.shape[0]):
-        ids_a = [v for v in np.unique(a[i]) if v >= 2]
-        ids_b = [v for v in np.unique(b[i]) if v >= 2]
-        for va in ids_a:
-            ma = a[i] == va
-            best = 0.0
-            for vb in ids_b:
-                mb = b[i] == vb
-                inter = np.logical_and(ma, mb).sum()
-                union = np.logical_or(ma, mb).sum()
-                best = max(best, inter / union if union else 0.0)
-            ious.append(best)
+        ious += one_way(a, b, i) + one_way(b, a, i)
     return float(np.mean(ious)) if ious else 1.0
 
 

@@ -61,13 +61,19 @@ def main():
 
     # two-stage (crop refinement through the same bucketed path)
     from collections import deque
+
+    from unseenobjectswithmeanshift_tpu.pipeline.refine import pick_crop_budget
+
     s1c = jax.jit(pred._stage1_and_crops, static_argnames=("osd",))
     s2 = jax.jit(pred._stage2_refine, static_argnames=("P",))
 
     def pop(pending):
         labels_, crops_, perm_, count_ = pending.popleft()
-        P = next(b for b in pred._buckets(perm_.shape[0]) if b >= int(count_))
-        return s2(v2, labels_, crops_, perm_, P=P)
+        n = int(count_)
+        if n == 0:       # the serving path's early-out (_finish_bucketed)
+            return labels_
+        return s2(v2, labels_, crops_, perm_,
+                  P=pick_crop_budget(perm_.shape[0], n))
 
     pending = deque(s1c(v1, img, xyz, osd=False) for _ in range(2))
     np.asarray(chk(pop(pending)))

@@ -145,3 +145,8 @@ def test_factory_key_stride_opt_in():
     _, _, _, cfg, _ = build_two_stage_predictor(
         "tabletop_pretrained", image_shape=(64, 64))
     assert cfg.decoder.key_stride == 1
+    # 3-level pyramids have no strided path: asking for one must be loud,
+    # not silently ignored (the decoder itself rejects it at apply time)
+    with pytest.raises(ValueError, match="1-level"):
+        build_two_stage_predictor("uoais_resnet50", image_shape=(64, 64),
+                                  key_stride=2)

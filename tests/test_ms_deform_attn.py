@@ -92,3 +92,26 @@ def test_core_packed_matches_gather_core(rng):
         torch.from_numpy(value), shapes, torch.from_numpy(locs),
         torch.from_numpy(weights)).numpy()
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_core_packed_matches_gather_core_bf16(rng):
+    """bf16 values (the compute dtype when the module runs under bf16): both
+    cores keep the lerp weights f32, so they must agree to bf16 resolution."""
+    from unseenobjectswithmeanshift_tpu.ops.ms_deform_attn import (
+        ms_deform_attn_core_packed,
+    )
+    B, H, D, Lq, P = 1, 4, 8, 16, 4
+    shapes = [(12, 16), (6, 8)]
+    L = len(shapes)
+    Len = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.randn(B, Len, H, D).astype(np.float32)).astype(
+        jnp.bfloat16)
+    locs = jnp.asarray(rng.rand(B, Lq, H, L, P, 2).astype(np.float32))
+    weights = jnp.asarray(
+        rng.rand(B, Lq, H, L, P).astype(np.float32)).astype(jnp.bfloat16)
+
+    want = np.asarray(ms_deform_attn_core(value, shapes, locs, weights),
+                      np.float32)
+    got = np.asarray(ms_deform_attn_core_packed(value, shapes, locs, weights),
+                     np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)

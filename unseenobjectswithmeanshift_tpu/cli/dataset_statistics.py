@@ -83,7 +83,7 @@ def _write_views(dataset, n, args):
     order = np.random.RandomState(args.seed).permutation(n)[:args.view]
     for j, idx in enumerate(order):
         s = dataset[int(idx)]
-        rgb = unnormalize_image(np.asarray(s["image"]))[:, :, ::-1]  # -> RGB
+        rgb = unnormalize_image(np.asarray(s["image"]))  # already RGB
         label = np.asarray(s["label"]).astype(np.int32)
         z = np.asarray(s["xyz"])[..., 2] if "xyz" in s else np.zeros(
             label.shape, np.float32)

@@ -75,16 +75,17 @@ def main(argv=None):
 
     # one categorical slot per RUN (identity follows the run across panels)
     ax = axes[0]
-    loss_key = next((k for k in LOSS_KEYS if any(
-        any(k in r for r in recs if r.get("kind") == "train")
-        for _, recs in runs)), None)
+    # the loss key is chosen PER RUN (an MSMFormer run logs total_loss, a UCN
+    # run logs loss; a cross-run comparison must not drop either)
     for i, (lab, recs) in enumerate(runs):
-        xs, ys = series([r for r in recs if r.get("kind") == "train"],
-                        loss_key or "total_loss")
+        train = [r for r in recs if r.get("kind") == "train"]
+        key = next((k for k in LOSS_KEYS if any(k in r for r in train)),
+                   "total_loss")
+        xs, ys = series(train, key)
         if xs:
             ax.plot(xs, ys, color=CATEGORICAL[i % len(CATEGORICAL)],
                     linewidth=1.6, label=lab)
-    _style(ax, loss_key or "loss")
+    _style(ax, "training loss")
     if len(runs) > 1:
         ax.legend(frameon=False, fontsize=8, labelcolor=INK)
 

@@ -88,6 +88,9 @@ def main(argv=None):
     osd = args.dataset.startswith("osd_object")
 
     if args.ucn:
+        if args.key_stride > 1:
+            p.error("--key-stride applies to the MSMFormer decoder; the UCN "
+                    "pipeline has no attention keys to stride")
         from ..pipeline.ucn import UCNPredictor
         from ..utils.checkpoint import load_torch_state_dict, convert_ucn_checkpoint
 

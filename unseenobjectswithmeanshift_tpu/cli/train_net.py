@@ -78,10 +78,16 @@ def main(argv=None):
         params, batch_stats = restored["params"], restored["batch_stats"]
         print(f"continuing from {args.pretrained}")
 
-    # SGD + momentum + weight decay + MultiStepLR (tools/train_net.py:111-148)
-    boundaries = {m * (len(dataset) // args.batch): args.gamma
-                  for m in args.lr_milestones}
-    sched = optax.piecewise_constant_schedule(args.lr, boundaries)
+    # SGD + momentum + weight decay + MultiStepLR (tools/train_net.py:111-148).
+    # The optimizer's step count restarts at 0 on resume, so shift the epoch
+    # milestones by --start-epoch: already-passed milestones fold into the
+    # initial lr, future ones fire at the right absolute epoch.
+    steps_per_epoch = len(dataset) // args.batch
+    init_lr = args.lr * (args.gamma ** sum(
+        1 for m in args.lr_milestones if m <= args.start_epoch))
+    boundaries = {(m - args.start_epoch) * steps_per_epoch: args.gamma
+                  for m in args.lr_milestones if m > args.start_epoch}
+    sched = optax.piecewise_constant_schedule(init_lr, boundaries)
     tx = optax.chain(optax.add_decayed_weights(args.weight_decay),
                      optax.sgd(sched, momentum=args.momentum))
     opt_state = tx.init(params)

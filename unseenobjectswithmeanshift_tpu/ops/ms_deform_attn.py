@@ -132,11 +132,14 @@ def ms_deform_attn_core_packed(value, value_spatial_shapes, sampling_locations,
         tapw = jnp.stack([(1 - wy) * (1 - wx), (1 - wy) * wx,
                           wy * (1 - wx), wy * wx], axis=-1)  # [B,NH,Lq,P,4]
         # fold the softmaxed attention weight into the tap weights so one
-        # einsum reduces both the 4 taps and the P points
+        # einsum reduces both the 4 taps and the P points. The lerp weights
+        # stay f32 like the gather core (whose bf16-tap x f32-weight products
+        # promote) - quantizing them to bf16 would shift effective sampling
+        # positions by ~2^-8.
         aw = attention_weights[:, :, :, l].transpose(0, 2, 1, 3)  # [B,NH,Lq,P]
-        w4 = (tapw * aw[..., None].astype(jnp.float32)).astype(rows.dtype)
+        w4 = tapw * aw[..., None].astype(jnp.float32)
         out = out + jnp.einsum(
-            "bhqptd,bhqpt->bqhd", rows, w4,
+            "bhqptd,bhqpt->bqhd", rows.astype(jnp.float32), w4,
             precision=jax.lax.Precision.HIGHEST).astype(out.dtype)
     return out.reshape(B, Lq, NH * D)
 

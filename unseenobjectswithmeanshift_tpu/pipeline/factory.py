@@ -83,8 +83,13 @@ def build_two_stage_predictor(
     if key_stride > 1:
         # opt-in fast serving (config.DecoderConfig.key_stride): NOT the
         # parity configuration; applies to the 1-level (UCN-backbone) decoders
-        if cfg.decoder.num_feature_levels == 1:
-            cfg.decoder.key_stride = key_stride
+        if cfg.decoder.num_feature_levels != 1:
+            raise ValueError(
+                f"key_stride={key_stride} applies to the 1-level "
+                "(UCN-backbone) decoder configs only; preset "
+                f"{preset!r} uses a {cfg.decoder.num_feature_levels}-level "
+                "pyramid whose levels are already strided")
+        cfg.decoder.key_stride = key_stride
         if cfg_crop.decoder.num_feature_levels == 1:
             cfg_crop.decoder.key_stride = key_stride
 

@@ -27,8 +27,14 @@ def restore(path: str, abstract_state):
 
 
 def latest_checkpoint(directory: str):
-    """Find the newest checkpoint_* subdirectory (resume support)."""
+    """Find the newest checkpoint_<iter> subdirectory (resume support).
+    Strictly checkpoint_ + digits: an interrupted orbax save leaves a
+    `*.orbax-checkpoint-tmp` sibling that sorts after the real name and must
+    never be selected."""
+    import re
+
     if not os.path.isdir(directory):
         return None
-    cands = sorted(d for d in os.listdir(directory) if d.startswith("checkpoint_"))
+    cands = sorted(d for d in os.listdir(directory)
+                   if re.fullmatch(r"checkpoint_\d+", d))
     return os.path.join(directory, cands[-1]) if cands else None
