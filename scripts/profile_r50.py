@@ -30,8 +30,10 @@ ITERS = 20
 
 
 def main():
+    import sys
+    preset = sys.argv[1] if len(sys.argv) > 1 else "uoais_resnet50"
     pred, v1, v2, cfg, _ = build_two_stage_predictor(
-        "uoais_resnet50", bf16=True, image_shape=(H, W))
+        preset, bf16=True, image_shape=(H, W))
     rng = np.random.RandomState(0)
     img = jnp.asarray((rng.rand(B, H, W, 3) * 255).astype(np.float32))
     xyz = jnp.asarray((rng.rand(B, H, W, 3) * 2).astype(np.float32))
@@ -56,7 +58,7 @@ def main():
     np.asarray(chk(out))
     dt = (time.perf_counter() - t0) / ITERS
     n_inst = [len([v for v in np.unique(labels[i]) if v >= 2]) for i in range(B)]
-    print(f"R50 single-stage: {dt * 1000:7.2f} ms/batch ({B / dt:6.2f} img/s) "
+    print(f"{preset} single-stage: {dt * 1000:7.2f} ms/batch ({B / dt:6.2f} img/s) "
           f"instances/img {n_inst}", flush=True)
 
     # two-stage (crop refinement through the same bucketed path)
@@ -88,7 +90,7 @@ def main():
         last = pop(pending)
     np.asarray(chk(last))
     dt2 = (time.perf_counter() - t0) / ITERS
-    print(f"R50 two-stage:   {dt2 * 1000:7.2f} ms/batch ({B / dt2:6.2f} img/s)",
+    print(f"{preset} two-stage:   {dt2 * 1000:7.2f} ms/batch ({B / dt2:6.2f} img/s)",
           flush=True)
 
 

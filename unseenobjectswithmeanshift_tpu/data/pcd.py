@@ -84,7 +84,14 @@ def read_pcd_xyz(path: str) -> np.ndarray:
         xyz = np.stack([arr["x"], arr["y"], arr["z"]], axis=1).astype(np.float32)
     elif data_kind == "binary_compressed":
         comp_size, uncomp_size = struct.unpack("<II", body[:8])
-        raw = _lzf_decompress(body[8:8 + comp_size], uncomp_size)
+        # native C++ decoder (the Python loop is ~ms-per-cloud on OCID-scale
+        # 640x480 organized clouds; the native path is ~100x faster), with the
+        # pure-Python implementation as the always-available fallback/oracle
+        from ..native import lzf_decompress as _native_lzf
+
+        raw = _native_lzf(body[8:8 + comp_size], uncomp_size)
+        if raw is None:
+            raw = _lzf_decompress(body[8:8 + comp_size], uncomp_size)
         # binary_compressed stores data FIELD-MAJOR (all x, then all y, ...)
         xyz_cols = []
         offset = 0

@@ -50,6 +50,8 @@ def get_lib():
     lib.boundary_overlap_counts.argtypes = [u8, u8, c.c_int, c.c_int, c.c_int, i64]
     lib.pairwise_mask_stats.argtypes = [i32, i32, c.c_int, i32, c.c_int, i32,
                                         c.c_int, i64, i64, i64]
+    lib.lzf_decompress.argtypes = [u8, c.c_int64, u8, c.c_int64]
+    lib.lzf_decompress.restype = c.c_int64
     _lib = lib
     return _lib
 
@@ -128,3 +130,18 @@ def pairwise_mask_stats(pred, gt, gt_ids, pred_ids):
     lib.pairwise_mask_stats(p32, g32, p32.size, gt_ids, ng, pred_ids, npred,
                             inter, gt_sizes, pred_sizes)
     return inter, gt_sizes, pred_sizes
+
+
+def lzf_decompress(data: bytes, expected: int):
+    """Native LZF decompression (PCL binary_compressed PCD codec); returns the
+    decompressed bytes or None if the native lib is unavailable / the stream
+    is malformed (callers fall back to the pure-Python decoder)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(expected, np.uint8)
+    n = lib.lzf_decompress(np.ascontiguousarray(src), len(data), out, expected)
+    if n < 0:
+        return None
+    return out[:n].tobytes()

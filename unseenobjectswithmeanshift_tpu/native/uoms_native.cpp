@@ -143,4 +143,35 @@ void pairwise_mask_stats(const int32_t* pred, const int32_t* gt, int n,
   }
 }
 
+// LZF decompression (the PCL binary_compressed PCD codec; semantics identical
+// to data/pcd.py _lzf_decompress, the Python fallback/oracle). Returns bytes
+// written, or -1 on a malformed stream (out-of-range back reference /
+// truncated input). Stops once out_len bytes are produced.
+int64_t lzf_decompress(const uint8_t* in, int64_t in_len,
+                       uint8_t* out, int64_t out_len) {
+  int64_t i = 0, o = 0;
+  while (i < in_len && o < out_len) {
+    const uint32_t ctrl = in[i++];
+    if (ctrl < 32) {               // literal run of ctrl+1 bytes
+      int64_t cnt = (int64_t)ctrl + 1;
+      if (i + cnt > in_len) cnt = in_len - i;          // truncated tail
+      if (o + cnt > out_len) cnt = out_len - o;
+      std::memcpy(out + o, in + i, (size_t)cnt);
+      i += cnt; o += cnt;
+    } else {                       // back reference
+      int64_t len = ctrl >> 5;
+      if (len == 7) {
+        if (i >= in_len) return -1;
+        len += in[i++];
+      }
+      if (i >= in_len) return -1;
+      int64_t ref = o - (((int64_t)(ctrl & 0x1F)) << 8) - in[i++] - 1;
+      if (ref < 0) return -1;
+      for (int64_t k = 0; k < len + 2 && o < out_len; ++k)
+        out[o++] = out[ref++];     // may overlap the output tail (RLE)
+    }
+  }
+  return o;
+}
+
 }  // extern "C"
