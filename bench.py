@@ -85,8 +85,9 @@ def main():
     # ~us for that sync; over the tunnel it would otherwise dominate the
     # measurement). Completion is forced via tiny on-device checksums - full
     # label downloads would time the tunnel's download bandwidth, not the TPU.
-    s1 = jax.jit(pred._stage1_and_crops, static_argnames=("osd",))
-    s2 = jax.jit(pred._stage2_refine, static_argnames=("P",))
+    pred._ensure_bucketed_jits()   # the SHIPPED jits (incl. crop-buffer
+    s1 = pred._s1_fn               # donation on graph 2)
+    s2 = pred._s2_fn
     chk = jax.jit(lambda r: jnp.sum(r))
 
     def pick_bucket(perm, count):

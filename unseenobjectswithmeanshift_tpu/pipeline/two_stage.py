@@ -118,7 +118,13 @@ class TwoStagePredictor:
     def _ensure_bucketed_jits(self):
         if self._s1_fn is None:
             self._s1_fn = jax.jit(self._stage1_and_crops, static_argnames=("osd",))
-            self._s2_fn = jax.jit(self._stage2_refine, static_argnames=("P",))
+            # donate the crop tensors (the largest stage-2 input, ~100s of MB
+            # at B=8): graph 2 reuses their HBM for its own intermediates,
+            # lowering peak pressure when the stream keeps 2 batches in
+            # flight. Callers never touch crops after refinement; labels ARE
+            # returned to the user, so they are not donated.
+            self._s2_fn = jax.jit(self._stage2_refine, static_argnames=("P",),
+                                  donate_argnums=(2,))
 
     def _finish_bucketed(self, variables_crop, s1_out):
         """Sync the crop count (the one host round-trip), pick the budget
