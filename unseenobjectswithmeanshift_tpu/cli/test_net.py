@@ -139,7 +139,10 @@ def main(argv=None):
             while len(idx) < B:
                 idx.append(idx[-1])
             samples = [dataset[i] for i in idx]
-            shapes.append((count, [s["label"].shape for s in samples[:count]]))
+            # stash the gt labels: the metric loop must not re-read the
+            # dataset (a second full image/depth decode per sample would
+            # compete with the device-overlap the batching exists for)
+            shapes.append((count, [s["label"] for s in samples[:count]]))
             img = np.stack([pad_hw(s["image"]) for s in samples])
             xyz = None
             if samples[0].get("xyz") is not None:
@@ -150,13 +153,13 @@ def main(argv=None):
     t_start = time.perf_counter()
     done = 0
     for bi, (labels, refined) in enumerate(stream(batches())):
-        count, hw_list = shapes[bi]
+        count, gt_list = shapes[bi]
         labels = np.asarray(labels)
         refined = np.asarray(refined)
         for j in range(count):
             i = bi * B + j
-            gt = dataset[i]["label"]
-            h, w = hw_list[j]
+            gt = gt_list[j]
+            h, w = gt.shape
             lab = labels[j, :h, :w]
             ref = refined[j, :h, :w]
             metrics_all.append(multilabel_metrics(lab, gt))

@@ -147,9 +147,16 @@ class StandardMaskFormer(nn.Module):
     meanshiftformer/meanshiftformer_model.py + configs/UOAIS_ResNet50.yaml;
     backbone/pixel-decoder selection mirrors the reference registries
     META_ARCH/SEM_SEG_HEADS, meanshift_former_head.py:21-33, fpn.py:37,161,333,
-    swin.py:770). Input normalization (pixel mean/std) happens inside forward
-    like the reference (:240-247); pass raw RGB uint8-scaled float images
-    [B, H, W, 3]. The reference's standard arch consumes only the image tensor
+    swin.py:770). COCO mean/std normalization happens inside forward like the
+    reference (:240-247). Input convention: whatever the reference feeds its
+    d2 model, which on the shipped eval path is the UCN dataset's
+    normalized-BGR tensor - Network_RGBD bypasses detectron2's input mapper
+    and passes sample['image_color'] (= BGR/255 - BGR means,
+    lib/datasets/ocid_object.py:80-86) straight into the model normalizer
+    (lib/fcn/test_utils.py:150-181). Our CLIs reproduce exactly that, so
+    converted reference checkpoints see bit-matching inputs; synthetic
+    rand*255 inputs in tests/profilers exercise shapes/perf only. The
+    reference's standard arch consumes only the image tensor
     (meanshiftformer_model.py backbone(images.tensor)); xyz is accepted for
     call-signature parity with MSMFormer and ignored.
 

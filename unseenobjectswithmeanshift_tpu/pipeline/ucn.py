@@ -124,20 +124,26 @@ class UCNPredictor:
         return labels, refined
 
     def stream(self, variables, variables_crop, batches,
-               depth_threshold: float = 0.8, first_seed_idx: int = 0):
+               depth_threshold: float = 0.8, first_seed_idx: int = 0,
+               depth: int = 2):
         """Software-pipelined batched inference over (image, xyz) batches -
-        same contract as TwoStagePredictor.stream."""
+        same contract as TwoStagePredictor.stream: `depth` batches of stage-1
+        work are enqueued BEFORE each crop-count sync so the host link's
+        per-sync round-trip overlaps buffered device work."""
+        from collections import deque
+
         self._ensure_bucketed_jits()
-        prev = None
+        pending = deque()
         for (image, xyz) in batches:
-            out = self._s1_fn(variables, image, xyz,
-                              depth_threshold=depth_threshold,
-                              first_seed_idx=first_seed_idx)
-            if prev is not None:
-                yield self._finish_bucketed(variables_crop, prev, first_seed_idx)
-            prev = out
-        if prev is not None:
-            yield self._finish_bucketed(variables_crop, prev, first_seed_idx)
+            pending.append(self._s1_fn(variables, image, xyz,
+                                       depth_threshold=depth_threshold,
+                                       first_seed_idx=first_seed_idx))
+            if len(pending) > depth:
+                yield self._finish_bucketed(variables_crop, pending.popleft(),
+                                            first_seed_idx)
+        while pending:
+            yield self._finish_bucketed(variables_crop, pending.popleft(),
+                                        first_seed_idx)
 
     def _stage1_and_crops(self, variables, image, xyz, depth_threshold: float,
                           first_seed_idx):

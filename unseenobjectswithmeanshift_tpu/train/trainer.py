@@ -156,8 +156,13 @@ class Trainer:
                 # vs the per-pixel instance label image, added to the criterion
                 # total with its configured weight (ref: pretrained_
                 # meanshiftformer_model.py:316-325 + weight_dict update :325)
-                feats = outputs.get("backbone_features",
-                                    outputs.get("mask_features"))
+                feats = outputs.get("backbone_features")
+                if feats is None:
+                    raise ValueError(
+                        "loss.use_embedding_loss needs the meta-arch to "
+                        "expose backbone_features in its train outputs (the "
+                        "UCN-backbone MSMFormer does; the standard R50/Swin "
+                        "arch has no embedding head to train it on)")
                 emb, intra, inter = embedding_loss(
                     feats.astype(jnp.float32), batch["label_image"],
                     k_max=lc.max_gt_instances + 1, alpha=lc.embedding_alpha,

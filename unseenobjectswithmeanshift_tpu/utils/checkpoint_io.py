@@ -35,6 +35,8 @@ def latest_checkpoint(directory: str):
 
     if not os.path.isdir(directory):
         return None
-    cands = sorted(d for d in os.listdir(directory)
-                   if re.fullmatch(r"checkpoint_\d+", d))
+    cands = sorted((d for d in os.listdir(directory)
+                    if re.fullmatch(r"checkpoint_\d+", d)),
+                   key=lambda d: int(d.split("_")[1]))  # not lexicographic:
+    # digit widths may differ (externally created dirs, >7-digit iterations)
     return os.path.join(directory, cands[-1]) if cands else None
