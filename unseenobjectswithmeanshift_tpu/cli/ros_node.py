@@ -44,6 +44,9 @@ def main(argv=None):
                    help="run the legacy UCN (embedding + vMF mean shift) "
                         "networks instead of MSMFormer "
                         "(ref: ros/test_images_segmentation.py)")
+    p.add_argument("--key-stride", type=int, default=1,
+                   help="opt-in fast serving for the MSMFormer decoder "
+                        "(NOT the parity configuration)")
     args = p.parse_args(argv)
 
     try:
@@ -67,6 +70,8 @@ def main(argv=None):
     )
 
     if args.ucn:
+        if args.key_stride > 1:
+            p.error("--key-stride applies to the MSMFormer decoder")
         # legacy UCN mode (ref: ros/test_images_segmentation.py): embedding
         # network + vMF mean-shift clustering, same two-stage refinement
         from ..pipeline.ucn import UCNPredictor
@@ -79,6 +84,9 @@ def main(argv=None):
 
         cfg = get_config("tabletop_pretrained")
         cfg_crop = get_config("crop_tabletop_pretrained")
+        if args.key_stride > 1:
+            cfg.decoder.key_stride = args.key_stride
+            cfg_crop.decoder.key_stride = args.key_stride
         pred = TwoStagePredictor(cfg, cfg_crop, dtype=jnp.bfloat16)
         convert = convert_msmformer_checkpoint
     if args.checkpoint:
