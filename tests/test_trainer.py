@@ -121,3 +121,30 @@ def test_embedding_loss_wired_into_trainer(rng):
         float(metrics["total_loss"]),
         float(m0["total_loss"]) + cfg.loss.embedding_loss_weight * emb,
         rtol=1e-5)
+
+
+def test_nonfinite_step_skips_update(rng):
+    """A batch that produces a non-finite loss/grad must leave params and
+    opt_state untouched and flag skipped_nonfinite=1 (failure handling: one
+    bad batch must not poison a 70k-iteration run)."""
+    cfg = tiny_cfg()
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0), (32, 32), batch_size=2)
+    step = jax.jit(tr.train_step)
+
+    good = make_batch(rng, 2)
+    state, m = step(state, good, jax.random.PRNGKey(0))
+    assert float(m["skipped_nonfinite"]) == 0.0
+    params_before = jax.tree.map(np.asarray, state.params)
+
+    bad = dict(good)
+    bad["image"] = good["image"].at[0, 0, 0, 0].set(jnp.nan)
+    state2, m2 = step(state, bad, jax.random.PRNGKey(1))
+    assert float(m2["skipped_nonfinite"]) == 1.0
+    assert int(state2.step) == int(state.step) + 1   # step still advances
+    after = jax.tree.map(np.asarray, state2.params)
+    jax.tree.map(np.testing.assert_array_equal, params_before, after)
+
+    # and a good batch after the skipped one still trains
+    state3, m3 = step(state2, good, jax.random.PRNGKey(2))
+    assert float(m3["skipped_nonfinite"]) == 0.0

@@ -180,10 +180,23 @@ class Trainer:
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=new_params,
-                               batch_stats=new_bs, opt_state=new_opt)
+        # failure handling: a non-finite loss or gradient (bf16 overflow, a
+        # degenerate batch) must not poison the parameters - keep the previous
+        # params/opt_state for that step and surface it in the metrics (the
+        # long-run equivalent of the reference's crash-and-restart; no extra
+        # sync, the flag rides the metrics pytree)
+        finite = jnp.isfinite(total)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(finite, a, b), new, old)
+        new_state = TrainState(step=state.step + 1,
+                               params=keep(new_params, state.params),
+                               batch_stats=keep(new_bs, state.batch_stats),
+                               opt_state=keep(new_opt, state.opt_state))
         metrics = dict(losses)
         metrics["total_loss"] = total
+        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         return new_state, metrics
 
     def jit_train_step(self, mesh=None):
