@@ -61,3 +61,13 @@ def test_plot_epochs_train_only(tmp_path):
     out = str(tmp_path / "loss.png")
     main([log.path, "--out", out])
     assert os.path.exists(out)
+
+
+def test_plot_bars_renders(tmp_path):
+    from unseenobjectswithmeanshift_tpu.cli.plot_epochs import main
+
+    a = _fake_run(tmp_path, "rgbd", 0)
+    b = _fake_run(tmp_path, "depth", 1)
+    out = str(tmp_path / "bars.png")
+    main([a, b, "--labels", "RGBD", "DEPTH", "--bars", "--out", out])
+    assert os.path.exists(out) and os.path.getsize(out) > 10_000

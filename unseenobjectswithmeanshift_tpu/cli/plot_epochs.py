@@ -55,6 +55,9 @@ def main(argv=None):
     p.add_argument("--labels", nargs="*", default=None,
                    help="legend label per run (default: parent dir name)")
     p.add_argument("--out", default="epochs.png")
+    p.add_argument("--bars", action="store_true",
+                   help="bar-chart each run's FINAL eval metrics instead of "
+                        "curves (the tools/plot_bar_charts.py figure)")
     args = p.parse_args(argv)
 
     labels = args.labels or [
@@ -63,6 +66,10 @@ def main(argv=None):
     if len(labels) != len(args.logs):
         raise SystemExit("--labels must match the number of log files")
     runs = [(lab, read_metrics(f)) for lab, f in zip(labels, args.logs)]
+
+    if args.bars:
+        _plot_bars(plt, runs, args.out)
+        return
 
     have_eval = any(any(r.get("kind") == "eval" for r in recs)
                     for _, recs in runs)
@@ -101,6 +108,36 @@ def main(argv=None):
     fig.tight_layout()
     fig.savefig(args.out, facecolor="white")
     print(f"wrote {args.out} ({n} panel(s), {len(runs)} run(s))")
+
+
+def _plot_bars(plt, runs, out):
+    """One panel per eval metric, one thin bar per run, direct value labels
+    (magnitude comparison across runs - the reference's grouped-bar figure)."""
+    panels = [(k, t) for k, t in EVAL_KEYS if any(
+        any(k in r for r in recs if r.get("kind") == "eval")
+        for _, recs in runs)]
+    if not panels:
+        raise SystemExit("--bars needs eval records in the logs")
+    fig, axes = plt.subplots(1, len(panels), figsize=(3.4 * len(panels), 3.4),
+                             dpi=120)
+    axes = [axes] if len(panels) == 1 else list(axes)
+    for ax, (key, title) in zip(axes, panels):
+        for i, (lab, recs) in enumerate(runs):
+            ev = [r for r in recs if r.get("kind") == "eval" and key in r]
+            if not ev:
+                continue
+            v = ev[-1][key]
+            ax.bar(i, v, width=0.62, color=CATEGORICAL[i % len(CATEGORICAL)])
+            ax.text(i, v + 0.02, f"{v:.3f}", ha="center", va="bottom",
+                    color=INK, fontsize=8)
+        ax.set_xticks(range(len(runs)))
+        ax.set_xticklabels([lab for lab, _ in runs], color=INK, fontsize=8)
+        _style(ax, title)
+        ax.set_xlabel("")
+        ax.set_ylim(0, 1.05)
+    fig.tight_layout()
+    fig.savefig(out, facecolor="white")
+    print(f"wrote {out} ({len(panels)} metric(s), {len(runs)} run(s))")
 
 
 if __name__ == "__main__":
