@@ -1,0 +1,102 @@
+"""End-to-end integration test of the documented reproduction path:
+cli/test_net.main over a synthetic TOD test split - batched pipelined stream,
+metric block, .mat dumps (ref: README.md:128-133 / tools/test_net.py)."""
+
+import glob
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def tod_test_tree(tmp_path):
+    """One scene x 6 views of 64x64 synthetic data in the TOD test_set layout."""
+    rng = np.random.RandomState(0)
+    root = tmp_path / "tod"
+    d = root / "test_set" / "scene_00000"
+    d.mkdir(parents=True)
+    for v in range(6):
+        cv2.imwrite(str(d / f"rgb_{v:05d}.jpeg"),
+                    (rng.rand(64, 64, 3) * 255).astype(np.uint8))
+        cv2.imwrite(str(d / f"depth_{v:05d}.png"),
+                    (rng.rand(64, 64) * 2000).astype(np.uint16))
+        seg = np.zeros((64, 64), np.uint8)
+        seg[8:24, 8:24] = 2
+        seg[34:52, 30:50] = 3
+        cv2.imwrite(str(d / f"segmentation_{v:05d}.png"), seg)
+    return str(root)
+
+
+def _shrink(cfg):
+    cfg.decoder.num_queries = 8
+    cfg.decoder.hidden_dim = 32
+    cfg.decoder.dim_feedforward = 64
+    cfg.decoder.dec_layers = 2
+    cfg.decoder.nheads = 4
+    cfg.decoder.mask_dim = 32
+    cfg.decoder.conv_dim = 16
+    cfg.backbone.num_units = 16
+    cfg.pixel_decoder.conv_dim = 16
+    cfg.pixel_decoder.mask_dim = 32
+    cfg.test.max_instances = 4
+    cfg.test.crop_size = 32
+    return cfg
+
+
+def test_test_net_cli_end_to_end(tod_test_tree, tmp_path, monkeypatch, capsys):
+    """The full eval CLI: dataset -> batched stream -> canonical metric block
+    -> per-image .mat dumps, on random weights (shrunk configs via the
+    factory's config hook; the real flagship shapes are bench/TPU territory)."""
+    from unseenobjectswithmeanshift_tpu.cli import test_net
+    from unseenobjectswithmeanshift_tpu.config import get_config
+    from unseenobjectswithmeanshift_tpu.pipeline import factory
+
+    monkeypatch.setattr(factory, "get_config",
+                        lambda name: _shrink(get_config(name)))
+
+    mat_dir = tmp_path / "mats"
+    test_net.main(["--dataset", "tabletop_object", "--root", tod_test_tree,
+                   "--limit", "4", "--batch", "2",
+                   "--save-mat", str(mat_dir)])
+    out = capsys.readouterr().out
+    assert "4 images" in out
+    # the canonical metric block prints both pre- and post-refinement
+    assert out.count("Objects F-measure") >= 2
+    assert out.count("Boundary F-measure") >= 2
+    mats = sorted(glob.glob(os.path.join(str(mat_dir), "*.mat")))
+    assert len(mats) == 4
+    from scipy.io import loadmat
+    m = loadmat(mats[0])
+    assert "labels" in m and "labels_refined" in m
+
+
+def test_demo_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """cli/demo.main over a synthetic image folder: glob color/depth pairs,
+    run both stages, write -label.png outputs (ref: tools/
+    test_image_with_ms_transformer.py folder mode)."""
+    from unseenobjectswithmeanshift_tpu.cli import demo
+    from unseenobjectswithmeanshift_tpu.config import get_config
+    from unseenobjectswithmeanshift_tpu.pipeline import factory
+
+    rng = np.random.RandomState(0)
+    imgdir = tmp_path / "frames"
+    imgdir.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(imgdir / f"{i:06d}-color.png"),
+                    (rng.rand(64, 64, 3) * 255).astype(np.uint8))
+        cv2.imwrite(str(imgdir / f"{i:06d}-depth.png"),
+                    (rng.rand(64, 64) * 2000).astype(np.uint16))
+
+    monkeypatch.setattr(factory, "get_config",
+                        lambda name: _shrink(get_config(name)))
+    out_dir = tmp_path / "out"
+    demo.main(["--imgdir", str(imgdir), "--height", "64", "--width", "64",
+               "--out", str(out_dir)])
+    text = capsys.readouterr().out
+    assert "done" in text
+    labels = sorted(glob.glob(os.path.join(str(out_dir), "*-label.png")))
+    assert len(labels) == 2
+    lab = cv2.imread(labels[0], cv2.IMREAD_UNCHANGED)
+    assert lab.shape[:2] == (64, 64)

@@ -71,6 +71,15 @@ def main(argv=None):
     if os.path.exists(params_file):
         with open(params_file) as f:
             camera_params = json.load(f)
+    elif depth_files and not args.no_depth:
+        # the reference crashes here (test_image_with_ms_transformer.py:127
+        # indexes a None); fall back to the TOD synthetic-camera intrinsics
+        # instead so depth frames without calibration still run
+        from ..data.datasets import fov_intrinsics
+
+        camera_params = fov_intrinsics(args.width, args.height)
+        print(f"WARNING: no {params_file}; using default FOV intrinsics "
+              f"(fx=fy={camera_params['fx']:.1f})")
 
     pred, v1, v2, cfg = build_predictor(args)
     input_type = "RGBD" if cfg.use_depth else "COLOR"
