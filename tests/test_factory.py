@@ -150,3 +150,27 @@ def test_factory_key_stride_opt_in():
     with pytest.raises(ValueError, match="1-level"):
         build_two_stage_predictor("uoais_resnet50", image_shape=(64, 64),
                                   key_stride=2)
+
+
+def test_pixel_decoder_bf16_opt_in(r50_predictor, rng):
+    """pixel_decoder.fp32=False (opt-in fast serving) follows the model
+    compute dtype and stays numerically close to the fp32 parity path at
+    bf16 resolution; params are shared (same init tree)."""
+    cfg = _shrink(get_config("uoais_resnet50"))
+    model32 = build_model(cfg)
+    img = jnp.asarray((rng.rand(1, 64, 64, 3) * 255).astype(np.float32))
+    v = model32.init(jax.random.PRNGKey(0), img)
+    out32 = model32.apply(v, img)
+
+    cfg16 = _shrink(get_config("uoais_resnet50"))
+    cfg16.pixel_decoder.fp32 = False
+    model16 = build_model(cfg16, dtype=jnp.bfloat16)
+    out16 = model16.apply(v, img)   # same params: structure must line up
+
+    a = np.asarray(out32["pred_masks"], np.float32)
+    b = np.asarray(out16["pred_masks"], np.float32)
+    scale = np.abs(a).max() + 1e-6
+    assert np.abs(a - b).max() / scale < 0.15   # bf16-accumulation tolerance
+    # sign agreement on confident logits (what binarization consumes)
+    conf = np.abs(a) > 0.1 * scale
+    assert (np.sign(a[conf]) == np.sign(b[conf])).mean() > 0.97

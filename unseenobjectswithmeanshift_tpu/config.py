@@ -89,6 +89,10 @@ class PixelDecoderConfig:
     transformer_enc_layers: int = 6   # for msdeformattn
     common_stride: int = 4
     norm: str = "GN"
+    fp32: bool = True                 # msdeformattn: the reference runs the
+    # whole pixel decoder under autocast(enabled=False) (msdeformattn.py:314)
+    # - fp32 is the PARITY setting. False = opt-in bf16 fast serving (follows
+    # the model compute dtype), NOT the parity configuration.
 
 
 @dataclass

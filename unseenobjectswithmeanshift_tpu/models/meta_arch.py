@@ -207,7 +207,9 @@ class StandardMaskFormer(nn.Module):
             mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
                 feature_channels=channels, conv_dim=pd.conv_dim,
                 mask_dim=pd.mask_dim, enc_layers=pd.transformer_enc_layers,
-                dtype=self.dtype, name="pixel_decoder")(features)
+                dtype=self.dtype,
+                compute_dtype=jnp.float32 if pd.fp32 else self.dtype,
+                name="pixel_decoder")(features)
         else:
             raise ValueError(f"unknown pixel_decoder.name {pd.name!r} for the "
                              "standard-backbone arch (fpn | transformer_enc | "

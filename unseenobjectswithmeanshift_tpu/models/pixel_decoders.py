@@ -124,12 +124,18 @@ class MSDeformAttnPixelDecoder(nn.Module):
     n_points: int = 4
     num_outputs: int = 3
     dtype: jnp.dtype = jnp.float32
+    # fp32 compute is the PARITY setting (the reference wraps the whole
+    # forward in autocast(enabled=False), msdeformattn.py:314); compute_dtype
+    # may be set to bf16 as an opt-in fast path (config.pixel_decoder.fp32)
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, features: Dict[str, jax.Array]):
-        prec = default_precision(self.dtype)
         L = len(self.transformer_in_features)
         dt = self.dtype
+        cdt = self.compute_dtype
+        cprec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+                 else default_precision(cdt))
 
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (L, self.conv_dim))
@@ -137,18 +143,18 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # flatten res5 -> res3 (input_proj index 0 = lowest resolution)
         srcs, poss, shapes = [], [], []
         for idx, f in enumerate(self.transformer_in_features[::-1]):
-            x = features[f].astype(jnp.float32)  # deformable attn in fp32 (ref
-            # msdeformattn.py:314 @autocast(enabled=False))
-            x = nn.Conv(self.conv_dim, (1, 1), dtype=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+            x = features[f].astype(cdt)  # fp32 = parity (ref msdeformattn.py
+            # :314 @autocast(enabled=False)); bf16 = opt-in fast path
+            x = nn.Conv(self.conv_dim, (1, 1), dtype=cdt,
+                        precision=cprec,
                         name=f"input_proj_{idx}")(x)
             x = nn.GroupNorm(num_groups=32, name=f"input_norm_{idx}")(x)
             b, h, w, _ = x.shape
             shapes.append((h, w))
-            pe = position_embedding_sine(h, w, self.conv_dim // 2)
+            pe = position_embedding_sine(h, w, self.conv_dim // 2).astype(cdt)
             poss.append(jnp.broadcast_to(pe.reshape(1, h * w, -1),
                                          (b, h * w, self.conv_dim))
-                        + level_embed[L - 1 - idx].astype(jnp.float32))
+                        + level_embed[L - 1 - idx].astype(cdt))
             srcs.append(x.reshape(b, h * w, self.conv_dim))
 
         src = jnp.concatenate(srcs, 1)
@@ -159,7 +165,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             src = MSDeformAttnEncoderLayer(
                 d_model=self.conv_dim, d_ffn=self.dim_feedforward, n_levels=L,
                 n_heads=self.nheads, n_points=self.n_points,
-                dtype=jnp.float32, name=f"encoder_layer_{i}")(src, pos, ref, shapes)
+                dtype=cdt, name=f"encoder_layer_{i}")(src, pos, ref, shapes)
 
         # split back to maps (res5, res4, res3 order)
         out = []
@@ -172,22 +178,24 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # (num_fpn_levels = log2(8) - log2(4) = 1 for the shipped config)
         fpn_features = ["res2"]
         for idx, f in enumerate(fpn_features[::-1]):
-            x = features[f].astype(jnp.float32)
-            lat = nn.GroupNorm(num_groups=32, name=f"adapter_norm_{idx}")(
-                nn.Conv(self.conv_dim, (1, 1), use_bias=False, dtype=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+            x = features[f].astype(cdt)
+            lat = nn.GroupNorm(num_groups=32, dtype=cdt,
+                               name=f"adapter_norm_{idx}")(
+                nn.Conv(self.conv_dim, (1, 1), use_bias=False, dtype=cdt,
+                        precision=cprec,
                         name=f"adapter_{idx}")(x))
             y = lat + resize_bilinear(out[-1], (x.shape[1], x.shape[2]),
                                       align_corners=False)
-            y = nn.relu(nn.GroupNorm(num_groups=32, name=f"layer_norm_{idx}")(
+            y = nn.relu(nn.GroupNorm(num_groups=32, dtype=cdt,
+                                     name=f"layer_norm_{idx}")(
                 nn.Conv(self.conv_dim, (3, 3), padding=1, use_bias=False,
-                        dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                        dtype=cdt, precision=cprec,
                         name=f"layer_{idx}")(y)))
             out.append(y)
 
         multi_scale = out[:self.num_outputs]
-        mask_features = nn.Conv(self.mask_dim, (1, 1), dtype=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST,
+        mask_features = nn.Conv(self.mask_dim, (1, 1), dtype=cdt,
+                                precision=cprec,
                                 name="mask_features")(out[-1])
         return mask_features.astype(dt), out[0].astype(dt), \
             [m.astype(dt) for m in multi_scale]
