@@ -20,6 +20,8 @@ set -x
   timeout 3600 python scripts/profile_r50_breakdown.py
   echo "--- profile_r50 (uoais_resnet50) ---"
   timeout 2400 python scripts/profile_r50.py uoais_resnet50
+  echo "--- profile_r50 (uoais_resnet50 fast bf16-pd) ---"
+  timeout 2400 python scripts/profile_r50.py uoais_resnet50 fast
   echo "--- profile_r50 (tabletop_swin) ---"
   timeout 2400 python scripts/profile_r50.py tabletop_swin
   echo "--- bench ---"

@@ -32,6 +32,21 @@ ITERS = 20
 def main():
     import sys
     preset = sys.argv[1] if len(sys.argv) > 1 else "uoais_resnet50"
+    fast = "fast" in sys.argv[2:]
+    if fast:
+        # opt-in bf16 pixel decoder (NOT the parity configuration)
+        from unseenobjectswithmeanshift_tpu.pipeline import factory
+        from unseenobjectswithmeanshift_tpu.config import get_config as _gc
+
+        def _fast_cfg(name):
+            cfg = _gc(name)
+            cfg.pixel_decoder.fp32 = False
+            return cfg
+
+        factory.get_config = _fast_cfg
+        preset_tag = preset + " [bf16 pixel decoder]"
+    else:
+        preset_tag = preset
     pred, v1, v2, cfg, _ = build_two_stage_predictor(
         preset, bf16=True, image_shape=(H, W))
     rng = np.random.RandomState(0)
@@ -58,7 +73,7 @@ def main():
     np.asarray(chk(out))
     dt = (time.perf_counter() - t0) / ITERS
     n_inst = [len([v for v in np.unique(labels[i]) if v >= 2]) for i in range(B)]
-    print(f"{preset} single-stage: {dt * 1000:7.2f} ms/batch ({B / dt:6.2f} img/s) "
+    print(f"{preset_tag} single-stage: {dt * 1000:7.2f} ms/batch ({B / dt:6.2f} img/s) "
           f"instances/img {n_inst}", flush=True)
 
     # two-stage (crop refinement through the same bucketed path)
@@ -90,7 +105,7 @@ def main():
         last = pop(pending)
     np.asarray(chk(last))
     dt2 = (time.perf_counter() - t0) / ITERS
-    print(f"{preset} two-stage:   {dt2 * 1000:7.2f} ms/batch ({B / dt2:6.2f} img/s)",
+    print(f"{preset_tag} two-stage:   {dt2 * 1000:7.2f} ms/batch ({B / dt2:6.2f} img/s)",
           flush=True)
 
 
