@@ -39,6 +39,13 @@ def main(argv=None):
                         "0 = disabled, matching every shipped config)")
     p.add_argument("--eval-samples", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--devices", type=int, default=0,
+                   help="mesh over the first N devices (0 = all; useful for "
+                        "debugging and small-host CI)")
+    p.add_argument("--image-size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="train at a reduced resolution (default: 224x224 with "
+                        "--crop, else the full 480x640)")
     p.add_argument("--resume", action="store_true",
                    help="restore the newest checkpoint_* in --output and "
                         "continue from its iteration (detectron2 "
@@ -58,7 +65,8 @@ def main(argv=None):
     cfg.solver.base_lr = args.lr
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
-    image_hw = (224, 224) if args.crop else (480, 640)
+    image_hw = tuple(args.image_size) if args.image_size else (
+        (224, 224) if args.crop else (480, 640))
     dataset = TableTopObject(args.root, "train", syn_crop=args.crop,
                              crop_size=224, seed=0)
     loader = BatchLoader(dataset, args.batch, max_gt=cfg.loss.max_gt_instances)
@@ -127,7 +135,7 @@ def main(argv=None):
             print_metrics(agg)
             return agg
 
-    mesh = make_mesh()
+    mesh = make_mesh(jax.devices()[:args.devices] if args.devices else None)
     print(f"mesh: {mesh.devices.shape} devices")
     step_fn = trainer.jit_train_step(mesh)
     os.makedirs(args.output, exist_ok=True)
@@ -148,7 +156,7 @@ def main(argv=None):
                                  batch["gt_valid"].size)
                 batch = shard_batch(mesh, batch)
                 state, metrics = step_fn(state, batch, jax.random.PRNGKey(it),
-                                         pair_budget=pb)
+                                         pb)
                 it += 1
                 if it % args.log_period == 0:
                     total = float(metrics["total_loss"])

@@ -200,9 +200,13 @@ class Trainer:
         return new_state, metrics
 
     def jit_train_step(self, mesh=None):
-        """jit the train step; with a mesh, shard the batch over 'dp'."""
+        """jit the train step; with a mesh, shard the batch over 'dp'.
+
+        pair_budget is static BY POSITION (argnum 3): jit with in_shardings
+        rejects kwargs outright, so callers must pass it positionally -
+        `step(state, batch, rng, pb)`."""
         if mesh is None:
-            return jax.jit(self.train_step, static_argnames=("pair_budget",))
+            return jax.jit(self.train_step, static_argnums=(3,))
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
@@ -210,7 +214,7 @@ class Trainer:
         # pytree-prefix shardings: replicated state/rng, batch sharded over dp
         return jax.jit(self.train_step, in_shardings=(repl, data, repl),
                        out_shardings=(repl, repl),
-                       static_argnames=("pair_budget",))
+                       static_argnums=(3,))
 
 
 def pair_bucket(count: int, max_pairs: int, buckets=(16, 32, 48, 64)) -> int:
