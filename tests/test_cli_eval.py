@@ -144,3 +144,44 @@ def test_train_msmformer_cli_with_resume(tod_test_tree, tmp_path, monkeypatch,
     assert "resumed from" in text and "iteration 2" in text
     assert "iter 4/4" in text
     assert (out / "checkpoint_0000004").exists()
+
+
+def test_train_net_cli_end_to_end(tod_test_tree, tmp_path, monkeypatch,
+                                  capsys):
+    """train_net.main (UCN embedding training): one epoch over the synthetic
+    TOD tree, per-epoch orbax snapshot with the reference's structured name,
+    metrics.jsonl records, then --pretrained/--start-epoch continues."""
+    import json
+
+    from unseenobjectswithmeanshift_tpu import config as config_mod
+    from unseenobjectswithmeanshift_tpu.cli import train_net
+
+    real_get = config_mod.get_config
+
+    def small(name):
+        cfg = real_get(name)
+        cfg.backbone.num_units = 16
+        cfg.loss.max_gt_instances = 3
+        return cfg
+
+    monkeypatch.setattr(config_mod, "get_config", small)
+    if not (tmp_path / "tod" / "training_set").exists():
+        (tmp_path / "tod" / "training_set").symlink_to(
+            tmp_path / "tod" / "test_set")
+
+    out = tmp_path / "ucn_run"
+    args = ["--root", tod_test_tree, "--batch", "2", "--log-period", "1",
+            "--devices", "1", "--output", str(out)]
+    train_net.main(args + ["--epochs", "1"])
+    text = capsys.readouterr().out
+    assert "epoch 1/1" in text
+    ckpt = out / "seg_resnet34_8s_embedding_cosine_rgbd_add_epoch_1.checkpoint"
+    assert ckpt.exists()
+    recs = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    assert any(r["kind"] == "train" and "loss_intra" in r for r in recs)
+
+    train_net.main(args + ["--epochs", "2", "--pretrained", str(ckpt),
+                           "--start-epoch", "1"])
+    text = capsys.readouterr().out
+    assert "continuing from" in text
+    assert "epoch 2/2" in text

@@ -37,6 +37,8 @@ def main(argv=None):
                    help="per-cluster pixel sampling (EMBEDDING_SAMPLING)")
     p.add_argument("--output", default="./output_ucn")
     p.add_argument("--log-period", type=int, default=20)
+    p.add_argument("--devices", type=int, default=0,
+                   help="mesh over the first N devices (0 = all)")
     p.add_argument("--pretrained", default=None,
                    help="orbax snapshot (an *_epoch_N.checkpoint dir) to "
                         "continue from (ref: tools/train_net.py --pretrained)")
@@ -112,7 +114,7 @@ def main(argv=None):
         params = optax.apply_updates(params, updates)
         return params, new_bs, opt_state, (loss, intra, inter)
 
-    mesh = make_mesh()
+    mesh = make_mesh(jax.devices()[:args.devices] if args.devices else None)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
