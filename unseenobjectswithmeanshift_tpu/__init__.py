@@ -20,3 +20,36 @@ are Pallas; parallelism is jax.sharding over a device mesh.
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level API (imports stay cheap; jax/flax load on first use):
+#   from unseenobjectswithmeanshift_tpu import get_config, build_two_stage_predictor
+_API = {
+    "get_config": ("unseenobjectswithmeanshift_tpu.config", "get_config"),
+    "PRESETS": ("unseenobjectswithmeanshift_tpu.config", "PRESETS"),
+    "Config": ("unseenobjectswithmeanshift_tpu.config", "Config"),
+    "build_model": ("unseenobjectswithmeanshift_tpu.models.meta_arch",
+                    "build_model"),
+    "build_two_stage_predictor": (
+        "unseenobjectswithmeanshift_tpu.pipeline.factory",
+        "build_two_stage_predictor"),
+    "TwoStagePredictor": ("unseenobjectswithmeanshift_tpu.pipeline.two_stage",
+                          "TwoStagePredictor"),
+    "UCNPredictor": ("unseenobjectswithmeanshift_tpu.pipeline.ucn",
+                     "UCNPredictor"),
+    "Trainer": ("unseenobjectswithmeanshift_tpu.train.trainer", "Trainer"),
+}
+
+__all__ = sorted(_API) + ["__version__"]
+
+
+def __getattr__(name):
+    if name in _API:
+        import importlib
+
+        module, attr = _API[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return __all__
