@@ -19,7 +19,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")   # plain Python float: a jnp scalar here would initialize
+# the device backend at import time (and hang imports when no device is
+# reachable); jnp ops promote it to the computation dtype
 
 
 def _augmenting_path(cost, u, v, row4col, cur_row, n_rows_valid):
