@@ -11,7 +11,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate_timeout" not in flags:
+    # On 1-2 core hosts the 8 virtual devices reach a collective staggered by
+    # serialized compute; XLA:CPU's default 40 s rendezvous termination then
+    # aborts the whole pytest process (Fatal Python error inside the mesh
+    # tests). Same mitigation as __graft_entry__.dryrun_multichip.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
