@@ -18,6 +18,8 @@ target (40 img/s/chip) is tracked as "vs_target" in the breakdown line.
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -25,6 +27,44 @@ import numpy as np
 H100_REFERENCE_IMG_PER_SEC = 8.0   # derived in BASELINE.md, round 2
 TARGET_MULTIPLIER = 5.0
 TARGET = H100_REFERENCE_IMG_PER_SEC * TARGET_MULTIPLIER
+
+# Outage resilience (VERDICT r2 item 1): BENCH_r02 was voided because the dev
+# tunnel was down and bench.py crashed at backend init. Probe the backend in
+# SUBPROCESSES (a failed in-process init is cached by jax and would poison
+# retries), retrying for a bounded window; on final failure emit a structured
+# JSON record instead of a bare traceback so the round keeps its evidence.
+BACKEND_RETRY_WINDOW_S = 600
+BACKEND_RETRY_SLEEP_S = 45
+_PROBE = ("import jax, numpy as np; "
+          "print(np.asarray(jax.jit(lambda a: (a@a).sum())"
+          "(jax.numpy.ones((128,128)))))")
+
+
+def wait_for_backend(window_s=BACKEND_RETRY_WINDOW_S):
+    """Retry a tiny compiled matmul in a subprocess until the TPU answers.
+
+    Returns (ok, detail). Never initializes the backend in this process.
+    """
+    deadline = time.monotonic() + window_s
+    attempt = 0
+    detail = ""
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE],
+                               capture_output=True, text=True, timeout=120)
+            if r.returncode == 0:
+                return True, f"backend up (attempt {attempt})"
+            detail = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+            detail = detail[0][:300]
+        except subprocess.TimeoutExpired:
+            detail = "probe timed out after 120s"
+        if time.monotonic() >= deadline:
+            return False, f"backend unavailable after {attempt} probes " \
+                          f"over {window_s}s: {detail}"
+        print(f"# backend probe {attempt} failed ({detail}); retrying...",
+              flush=True)
+        time.sleep(min(BACKEND_RETRY_SLEEP_S, max(1, deadline - time.monotonic())))
 
 
 def main():
@@ -160,4 +200,17 @@ def main():
 
 
 if __name__ == "__main__":
+    ok, detail = wait_for_backend()
+    if not ok:
+        # Structured failure record: the driver still gets a parseable JSON
+        # line documenting WHY there is no number this round.
+        print(json.dumps({
+            "metric": "ocid_640x480_rgbd_two_stage_images_per_sec_per_chip",
+            "value": None,
+            "unit": "images/sec",
+            "vs_baseline": None,
+            "error": detail,
+        }))
+        sys.exit(1)
+    print(f"# {detail}")
     main()
