@@ -3,7 +3,10 @@
 Mirrors tools/dataset_statistics.py (ref: :20-42): iterate the dataset's ground
 truth labels, count foreground instances (table/background masked out by the
 dataset's own process_label), and print min/max/mean plus a histogram - used to
-pick max_instances / DETECTIONS_PER_IMAGE caps.
+pick max_instances / DETECTIONS_PER_IMAGE caps. The `max:` line is the
+lib/datasets/get_max_num_object.py scan (ref: whole file; its recorded answer
+for OCID is 20, which is this repo's test.max_instances default), and --view's
+depth panel is the lib/datasets/visualize_depth_image.py eyeball check.
 
 Usage:
   python -m unseenobjectswithmeanshift_tpu.cli.dataset_statistics \
