@@ -106,3 +106,65 @@ def test_key_stride_fused_matches_unfused(rng, monkeypatch):
                                np.asarray(ref["pred_logits"]), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["pred_masks"]),
                                np.asarray(ref["pred_masks"]), atol=2e-3)
+
+
+def test_tile_skip_fused_matches_plain_fused(rng, monkeypatch):
+    """decoder.tile_skip=True must be bit-identical to the plain fused path
+    (the plan only elides certified-all-masked K tiles; guard fix-up covers
+    the degenerate all-masked-query case)."""
+    monkeypatch.setattr(decoder_mod, "fused_uoms_cross_attention",
+                        partial(fused_uoms_cross_attention, interpret=True))
+    monkeypatch.setattr(decoder_mod, "select_blocks", lambda K: (32, 2))
+    E, NH, Q, L, MD, IC, FF, NC = 32, 4, 6, 2, 24, 16, 48, 2
+    h = w = 12
+    x = jnp.asarray(rng.randn(2, h, w, IC).astype(np.float32) * 0.5)
+    mf = jnp.asarray(rng.randn(2, h, w, MD).astype(np.float32) * 0.5)
+    kw = dict(num_classes=NC, hidden_dim=E, num_queries=Q, nheads=NH,
+              dim_feedforward=FF, dec_layers=L, mask_dim=MD, in_channels=IC,
+              num_feature_levels=1, use_pallas=True)
+    dec = MeanShiftDecoder(**kw)
+    variables = dec.init(jax.random.PRNGKey(0), [x], mf)
+    variables = jax.tree_util.tree_map_with_path(
+        lambda p, v: v * 20.0 if any(
+            getattr(k, "key", None) == "layers_2" for k in p) else v, variables)
+    ref = dec.apply(variables, [x], mf)
+    out = MeanShiftDecoder(**kw, tile_skip=True).apply(variables, [x], mf)
+    np.testing.assert_array_equal(np.asarray(out["pred_logits"]),
+                                  np.asarray(ref["pred_logits"]))
+    np.testing.assert_array_equal(np.asarray(out["pred_masks"]),
+                                  np.asarray(ref["pred_masks"]))
+
+
+def test_fused_multilevel_matches_unfused(rng, monkeypatch):
+    """3-level (R50-style) fused path: per-level resized mask features must
+    reproduce the unfused path's per-layer logit resize (resize commutes with
+    the me contraction), round-robin over levels."""
+    monkeypatch.setattr(decoder_mod, "fused_uoms_cross_attention",
+                        partial(fused_uoms_cross_attention, interpret=True))
+    monkeypatch.setattr(decoder_mod, "select_blocks", lambda K: (32, 2))
+    E, NH, Q, L, MD, IC, FF, NC = 32, 4, 6, 4, 24, 16, 48, 2
+    hs = [(12, 12), (6, 6), (3, 3)]
+    xs = [jnp.asarray(rng.randn(2, h, w, IC).astype(np.float32) * 0.5)
+          for h, w in hs]
+    mf = jnp.asarray(rng.randn(2, 24, 24, MD).astype(np.float32) * 0.5)
+    kw = dict(num_classes=NC, hidden_dim=E, num_queries=Q, nheads=NH,
+              dim_feedforward=FF, dec_layers=L, mask_dim=MD, in_channels=IC,
+              num_feature_levels=3)
+    dec = MeanShiftDecoder(**kw, use_pallas=False)
+    variables = dec.init(jax.random.PRNGKey(0), xs, mf)
+    variables = jax.tree_util.tree_map_with_path(
+        lambda p, v: v * 20.0 if any(
+            getattr(k, "key", None) == "layers_2" for k in p) else v, variables)
+    ref = dec.apply(variables, xs, mf)
+    out = MeanShiftDecoder(**kw, use_pallas=True).apply(variables, xs, mf)
+    np.testing.assert_allclose(np.asarray(out["pred_logits"]),
+                               np.asarray(ref["pred_logits"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out["pred_masks"]),
+                               np.asarray(ref["pred_masks"]), atol=3e-3)
+    # tile_skip composes with the multi-level path (bit-identical to fused)
+    out2 = MeanShiftDecoder(**kw, use_pallas=True, tile_skip=True).apply(
+        variables, xs, mf)
+    np.testing.assert_array_equal(np.asarray(out2["pred_logits"]),
+                                  np.asarray(out["pred_logits"]))
+    np.testing.assert_array_equal(np.asarray(out2["pred_masks"]),
+                                  np.asarray(out["pred_masks"]))

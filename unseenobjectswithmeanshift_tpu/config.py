@@ -77,6 +77,12 @@ class DecoderConfig:
     # subsample removes little information; masks stay full-resolution
     # (mask_features is not strided). Inference-only; training forces 1.
     key_stride: int = 1
+    # EXACT inference speedup (bit-identical output, safe to enable): elide
+    # attention K tiles certified all-masked for every query by a sound
+    # interval bound on the mask logits (ops/fused_cross_attention.TilePlan).
+    # Saves time proportional to mask concentration - trained weights
+    # concentrate, random weights skip ~nothing. Fused-Pallas inference only.
+    tile_skip: bool = False
 
 
 @dataclass
@@ -125,6 +131,9 @@ class MeanShiftConfig:
     max_iters: int = 10
     epsilon: float = 0.04             # 2 * cfg.TRAIN.EMBEDDING_ALPHA (mean_shift.py:123)
     metric: str = "cosine"
+    use_pallas: bool = True           # VMEM-resident seeding/climbing kernel on
+    # TPU (ops/pallas_mean_shift.py; exact-match tested vs the XLA scans).
+    # Ignored off-TPU or when the embedding matrix exceeds VMEM.
 
 
 @dataclass

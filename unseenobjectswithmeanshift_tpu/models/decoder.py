@@ -40,7 +40,9 @@ CHUNKED_ATTENTION_MIN_K = 32768
 from ..ops.pallas_attention import (
     masked_hypersphere_attention, fused_masked_hypersphere_attention,
 )
-from ..ops.fused_cross_attention import fused_uoms_cross_attention
+from ..ops.fused_cross_attention import (
+    fused_uoms_cross_attention, mf_tile_bounds, plan_tile_skip, select_blocks,
+)
 from ..ops.resize import resize_bilinear
 from .position_encoding import position_embedding_sine
 from .resnet import default_precision
@@ -82,7 +84,7 @@ class MultiheadAttention(nn.Module):
             # k/v projections (input_proj folded), pos projection, attention
             # mask and the all-masked-row guard in VMEM. Nothing per-layer is
             # materialized in HBM.
-            featT, mfT, me, posT, win, cin = fused_inputs
+            featT, mfT, me, posT, win, cin, mfb = fused_inputs
             dt = query.dtype
             f32 = jnp.float32
             proj = lambda x, w, b: (jnp.einsum(
@@ -99,16 +101,22 @@ class MultiheadAttention(nn.Module):
                   + p.k_bias.astype(f32)).astype(dt)
             cv = (cin.astype(f32) @ p.v_kernel.astype(f32)
                   + p.v_bias.astype(f32)).astype(dt)
-            # block sizes tuned on the v5e: long-K whole-image shapes want
-            # wider K tiles (+2% end to end); the crop shapes keep the
-            # defaults (wider/bb=8 variants win in kernel isolation but LOSE
-            # ~10 ms in the full stage-2 graph - measured, bench.py)
+            # block sizes tuned on the v5e (select_blocks): long-K whole-image
+            # shapes want wider K tiles (+2% end to end); the crop shapes keep
+            # the defaults (wider/bb=8 variants win in kernel isolation but
+            # LOSE ~10 ms in the full stage-2 graph - measured, bench.py)
             K = featT.shape[-1]
-            bk, bb = (2048, 4) if K >= 150_000 else (1024, 4)
+            bk, bb = select_blocks(K)
+            me_sg = jax.lax.stop_gradient(me)
+            # exact masked K-tile skipping: mfb = per-tile mask-feature bounds
+            # (computed once per forward); the plan certifies all-masked tiles
+            # from THIS layer's mask embed and elides them bit-identically
+            plan = (plan_tile_skip(me_sg, mfb[0], mfb[1], bb, present=present)
+                    if mfb is not None else None)
             out = fused_uoms_cross_attention(
-                q, featT, mfT, jax.lax.stop_gradient(me), posT.astype(dt),
+                q, featT, mfT, me_sg, posT.astype(dt),
                 awk, awv, p.k_kernel.astype(dt), ck, cv, present=present,
-                kappa=self.kappa, block_k=bk, block_b=bb)
+                tile_plan=plan, kappa=self.kappa, block_k=bk, block_b=bb)
             out = merge_heads(l2_normalize(out))
             return proj(out, p.out_kernel, p.out_bias)
         if (self.meanshift and self.use_pallas and mask_logits is not None
@@ -255,6 +263,11 @@ class MeanShiftDecoder(nn.Module):
     # config.DecoderConfig.key_stride; masks/mask_features stay full-res)
     use_meanshift_seeds: bool = False   # dormant reference path (:552-568,:904-921)
     materialize_masks: bool = True      # False: fused path returns mask_embed only
+    tile_skip: bool = False             # exact data-dependent masked K-tile
+    # skipping in the fused kernel (ops/fused_cross_attention.plan_tile_skip):
+    # bit-identical output, saves time proportional to how much the previous
+    # layer's attention masks concentrate (trained weights; random weights
+    # skip ~nothing). Inference-only (the fused path already is).
     remat: bool = False                 # checkpoint the attention modules (training:
     # the unfused masked attention holds [B, H, Q, K] logits - 3.9 GB fp32 at
     # 480x640 batch 4 - per layer; remat recomputes them in backward instead)
@@ -281,14 +294,15 @@ class MeanShiftDecoder(nn.Module):
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (self.num_feature_levels, E))
 
-        # The fully fused inference path needs the RAW feature map + projection
+        # The fully fused inference path needs the RAW feature maps + projection
         # weights (it folds input_proj/level_embed into the in-kernel k/v
-        # projections); it applies when the mask features share the level's
-        # resolution (the 1-level UCN/crop configs - the reference's attn-mask
-        # interpolation :1028 is then the identity).
+        # projections). Multi-level (R50/Swin) configs fuse too: the reference
+        # resizes the mask LOGITS to each level's size (:1028), and bilinear
+        # resize is linear so it commutes with the me contraction - resizing
+        # the mask FEATURES once per level yields the same attention mask
+        # (fp rounding aside; binarization-flip-robust like bf16 itself).
         fused = (self.use_pallas and self.use_meanshift_cross_attention
-                 and self.num_feature_levels == 1 and not self.disable_attention_mask
-                 and mask_features.shape[1:3] == x_levels[0].shape[1:3])
+                 and not self.disable_attention_mask)
 
         has_proj = self.in_channels != E or self.enforce_input_project
         projs = [Conv1x1(in_features=self.in_channels, features=E, dtype=dt,
@@ -306,7 +320,7 @@ class MeanShiftDecoder(nn.Module):
         # the trained model's key distribution, just fewer of them); mask
         # prediction stays full-resolution.
         srcs, poss, poss_flat, sizes = [], [], [], []
-        x_strided = None
+        xs_raw = []
         for l, x in enumerate(x_levels):
             h, w = x.shape[1], x.shape[2]
             pos = position_embedding_sine(h, w, E // 2, dtype=dt)
@@ -317,7 +331,7 @@ class MeanShiftDecoder(nn.Module):
             sizes.append((h, w))
             poss_flat.append(pos.reshape(h * w, E))
             if fused:
-                x_strided = x   # the kernel streams the (strided) raw map
+                xs_raw.append(x)   # the kernel streams the (strided) raw maps
                 continue
             poss.append(jnp.broadcast_to(pos.reshape(1, h * w, E), (B, h * w, E)))
             if has_proj:
@@ -325,20 +339,34 @@ class MeanShiftDecoder(nn.Module):
             srcs.append(x.reshape(B, h * w, E) + level_embed[l].astype(dt))
 
         if fused:
-            h, w = sizes[0]
-            # K-minor layouts, materialized ONCE per forward (shared by all
-            # layers; the kernel streams K tiles with C on sublanes)
-            feat_T = x_strided.reshape(B, h * w, -1).astype(dt).transpose(0, 2, 1)
-            mf_attn = mask_features[:, ::ks, ::ks] if ks > 1 else mask_features
+            # per-level K-minor layouts, materialized ONCE per forward (shared
+            # by all layers attending that level; the kernel streams K tiles
+            # with C on sublanes)
             mfc = mask_features.shape[-1]
-            mf_T = mf_attn.reshape(B, h * w, mfc).astype(dt).transpose(0, 2, 1)
-            pos_T = poss_flat[0].T
-            if has_proj:
-                win, b_in = projs[0].raw()
-                cin = b_in + level_embed[0]
-            else:
-                win = None
-                cin = level_embed[0]
+            fused_levels = []
+            for l, x in enumerate(xs_raw):
+                h, w = sizes[l]
+                feat_T = x.reshape(B, h * w, -1).astype(dt).transpose(0, 2, 1)
+                mf_l = mask_features
+                if ks > 1:
+                    mf_l = mf_l[:, ::ks, ::ks]
+                elif mf_l.shape[1:3] != (h, w):
+                    # resize(me.mf) == me.resize(mf): one resize per level
+                    # replaces the per-layer [B, Q, H, W] logit resize (:1028)
+                    mf_l = resize_bilinear(mf_l, (h, w), align_corners=False)
+                mf_T = mf_l.reshape(B, h * w, mfc).astype(dt).transpose(0, 2, 1)
+                pos_T = poss_flat[l].T
+                if has_proj:
+                    win, b_in = projs[l].raw()
+                    cin = b_in + level_embed[l]
+                else:
+                    win = None
+                    cin = level_embed[l]
+                # per-tile mask-feature bounds for tile skipping: mask features
+                # are layer-invariant, so ONE reduction serves all layers' plans
+                mfb = (mf_tile_bounds(mf_T, select_blocks(mf_T.shape[-1])[0])
+                       if self.tile_skip else None)
+                fused_levels.append((feat_T, mf_T, pos_T, win, cin, mfb))
 
         mask_features = mask_features.astype(dt)
 
@@ -412,9 +440,11 @@ class MeanShiftDecoder(nn.Module):
                 name=f"cross_attn_{i}")
             if fused:
                 # head_aux is the previous prediction head's mask embed
+                feat_T, mf_T, pos_T, win, cin, mfb = fused_levels[l]
                 tgt2 = attn(output + qpos, None, None,
                             fused_inputs=(feat_T, mf_T, head_aux,
-                                          pos_T, win, cin), present=present)
+                                          pos_T, win, cin, mfb),
+                            present=present)
             else:
                 tgt2 = attn(output + qpos, srcs[l] + poss[l], srcs[l],
                             mask_logits=None if self.disable_attention_mask

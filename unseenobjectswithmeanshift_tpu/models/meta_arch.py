@@ -114,6 +114,7 @@ class MSMFormer(nn.Module):
             decoder_block_norm=d.decoder_block_norm, kappa=d.kappa,
             use_pallas=use_pallas, materialize_masks=not light,
             key_stride=1 if train else d.key_stride,
+            tile_skip=(not train) and d.tile_skip,
             remat=train and c.train_remat_attention,
             dtype=self.dtype, name="predictor")
         outputs = decoder(multi_scale, mask_features, present=present)
@@ -231,6 +232,7 @@ class StandardMaskFormer(nn.Module):
             decoder_block_norm=d.decoder_block_norm, kappa=d.kappa,
             use_pallas=use_pallas, materialize_masks=not light,
             key_stride=1 if train else d.key_stride,
+            tile_skip=(not train) and d.tile_skip,
             remat=train and c.train_remat_attention,
             dtype=self.dtype,
             name="predictor")

@@ -43,6 +43,7 @@ tests/test_fused_cross_attention.py.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -56,34 +57,123 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _kernel(present_ref, qn_ref, me_ref, fT_ref, mfT_ref, posT_ref, awkT_ref,
-            awvT_ref, wkT_ref, ck_ref, cv_ref, out_ref, accm, accu,
-            *, kappa: float, num_heads: int, head_dim: int, bc: int,
-            kv_len: int, block_k: int):
-    kb = pl.program_id(1)
-    nkb = pl.num_programs(1)
-    H, D = num_heads, head_dim
-    E = H * D
-    padded = kv_len % block_k != 0
+# --------------------------------------------------------------------------
+# Masked K-tile skipping (exact, data-dependent).
+#
+# The previous layer's attention mask concentrates on objects for TRAINED
+# weights: most K tiles are masked out for EVERY query. Such a tile
+# contributes exactly zero to the masked accumulator (mask_f multiplies the
+# softmax weights by 0), so eliding it is bit-identical - only the
+# all-masked-row guard consumes unmasked mass, which the caller repairs (see
+# fused_uoms_cross_attention's guard fix-up). Tiles are certified all-masked
+# with a sound interval bound on the mask logits me.mf (ref semantics:
+# meanshiftformer_transformer_decoder.py:1028-1033, masked <=> logit < 0):
+#
+#   ub[q, t] = sum_c me+[q,c] * max_{k in t} mf[c,k]
+#            + sum_c me-[q,c] * min_{k in t} mf[c,k]   >=  max_{k in t} me.mf
+#
+# inflated by a rounding margin so the certificate also covers the kernel's
+# own mixed-precision arithmetic. The grid stays STATIC (no host sync):
+# present tiles are compacted to the front of a scalar-prefetched tile list
+# whose tail repeats the last present tile - Pallas's revisiting optimization
+# elides the DMA for a repeated block index, and pl.when skips the compute.
+# --------------------------------------------------------------------------
 
-    @pl.when(kb == 0)
-    def _init():
-        accm[:] = jnp.zeros_like(accm)
-        accu[:] = jnp.zeros_like(accu)
+class TilePlan(NamedTuple):
+    """Per-layer tile-skip plan (all device arrays; shapes static)."""
+
+    tile_list: jax.Array   # [n_blocks, T] i32: present-first tile ids,
+    #                        tail = last present id repeated (DMA elision)
+    n_present: jax.Array   # [n_blocks] i32: tiles actually processed
+    occ: jax.Array         # [Bp, T] i32: per-image tile occupancy (0 = the
+    #                        tile is certified all-masked for every query)
+
+
+def select_blocks(kv_len: int):
+    """(block_k, block_b) for a given key count - the single source of truth
+    shared by the kernel caller and the tile-skip planner (tuned on the v5e:
+    long-K whole-image shapes want wider K tiles, +2% end to end; the crop
+    shapes keep 1024). Short keys (R50/Swin pyramid levels, down to 300 at
+    res5) shrink the tile to the balanced lane-aligned size so the single-tile
+    pad stops dominating."""
+    if kv_len >= 150_000:
+        return 2048, 4
+    n_tiles = max(1, -(-kv_len // 1024))
+    bk = _round_up(-(-kv_len // n_tiles), 128)
+    return min(bk, 1024), 4
+
+
+def mf_tile_bounds(mfT, block_k: int):
+    """Per-tile per-channel min/max of the mask features - computed ONCE per
+    forward (mask_features are layer-invariant) and shared by every layer's
+    plan. mfT: [B, Cm, K]. Returns (mx, mn): [B, Cm, T] fp32. The K tail is
+    padded with zeros, which pins the tail tile's bound above 0 (always
+    present - its real keys may still be masked but the pad keys make the
+    bound conservative there; one tile of slack)."""
+    B, Cm, K = mfT.shape
+    T = -(-K // block_k)
+    pad = T * block_k - K
+    m = jnp.pad(mfT.astype(jnp.float32), ((0, 0), (0, 0), (0, pad)))
+    r = m.reshape(B, Cm, T, block_k)
+    return r.max(-1), r.min(-1)
+
+
+def plan_tile_skip(me, mx, mn, block_b: int, present=None) -> TilePlan:
+    """Build the per-layer plan from the previous layer's mask embed.
+
+    me: [B, Q, Cm] (real queries only - padded query rows have me=0 and are
+    unmasked everywhere by the kernel, but their outputs are discarded so
+    they must not pin tiles present). mx/mn: from mf_tile_bounds. present:
+    optional [B] bool - absent images (empty crop slots with garbage mask
+    embeds) must not pin tiles into their block's union.
+    """
+    f32 = jnp.float32
+    B = me.shape[0]
+    block_b = min(block_b, B)   # the kernel's effective image block
+    me32 = me.astype(f32)
+    mep = jnp.maximum(me32, 0.0)
+    men = jnp.minimum(me32, 0.0)
+    ub = (jnp.einsum("bqc,bct->bqt", mep, mx)
+          + jnp.einsum("bqc,bct->bqt", men, mn))
+    # rounding margin: covers fp32 re-association in this bound AND the
+    # kernel's bf16-product/fp32-accumulate mlog dot (rel err <= ~Cm * 2^-24
+    # of the absolute mass; 1e-3 is ~60x that)
+    absb = jnp.einsum("bqc,bct->bqt", jnp.abs(me32),
+                      jnp.maximum(jnp.abs(mx), jnp.abs(mn)))
+    occ_q = (ub + 1e-3 * absb) >= 0.0          # [B, Q, T] possibly unmasked
+    occ = jnp.any(occ_q, axis=1)               # [B, T]
+    if present is not None:
+        occ = occ & present.astype(bool)[:, None]
+    B, T = occ.shape
+    Bp = _round_up(B, block_b)
+    occp = jnp.pad(occ, ((0, Bp - B), (0, 0)))  # padded images: skip all
+    blk = occp.reshape(Bp // block_b, block_b, T).any(axis=1)  # [nblk, T]
+    n_present = jnp.maximum(blk.sum(-1).astype(jnp.int32), 1)
+    order = jnp.argsort(~blk, axis=-1, stable=True).astype(jnp.int32)
+    idx = jnp.minimum(jnp.arange(T, dtype=jnp.int32)[None, :],
+                      n_present[:, None] - 1)
+    tile_list = jnp.take_along_axis(order, idx, axis=-1)
+    return TilePlan(tile_list, n_present, occp.astype(jnp.int32))
+
+
+def _tile_body(qn_ref, me_ref, fT_ref, mfT_ref, posT_ref, awkT_ref, awvT_ref,
+               wkT_ref, ck_ref, cv_ref, accm, accu, present_pred, pad_f,
+               *, kappa: float, num_heads: int, head_dim: int, bc: int,
+               block_k: int):
+    """One K tile: batch-shared pos projection + per-image accumulation.
+
+    present_pred(b) gates each image's compute; pad_f is [1, block_k] with
+    1 for real keys (or None when the tile has no padded keys).
+    """
+    H, D = num_heads, head_dim
 
     # batch-shared positional projection for this K tile: [E, bk] fp32
     PT = jax.lax.dot_general(wkT_ref[:], posT_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     PT = PT + ck_ref[:].astype(jnp.float32)        # ck folds input-proj consts
 
-    if padded:
-        k_idx = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_k), 1)
-        pad_f = (k_idx < kv_len).astype(fT_ref.dtype)   # [1, bk] 1=real key
-
-    cb = pl.program_id(0)
     for b in range(bc):
-        @pl.when(present_ref[cb * bc + b] != 0)
+        @pl.when(present_pred(b))
         def _one_image(b=b):
             fT = fT_ref[b]                          # [C, bk]
             mfT = mfT_ref[b]                        # [Cm, bk]
@@ -104,7 +194,7 @@ def _kernel(present_ref, qn_ref, me_ref, fT_ref, mfT_ref, posT_ref, awkT_ref,
             mlog = jax.lax.dot_general(me, mfT, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
             mask_f = (mlog >= 0).astype(fT.dtype)   # [Qp, bk]
-            if padded:
+            if pad_f is not None:
                 mask_f = mask_f * pad_f
 
             q = qn_ref[b]                           # [H, Qp, D]
@@ -113,7 +203,7 @@ def _kernel(present_ref, qn_ref, me_ref, fT_ref, mfT_ref, posT_ref, awkT_ref,
             c = kappa * LOG2E
             # exp2(c*s - c) in [0, 1]: exact fixed-max softmax weights
             p_u = jnp.exp2(c * s - c).astype(fT.dtype)   # [H, Qp, bk]
-            if padded:
+            if pad_f is not None:
                 p_u = p_u * pad_f
             p_m = p_u * mask_f                      # mask shared across heads
 
@@ -138,6 +228,35 @@ def _kernel(present_ref, qn_ref, me_ref, fT_ref, mfT_ref, posT_ref, awkT_ref,
                     p_u, v1, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
 
+
+def _kernel(present_ref, qn_ref, me_ref, fT_ref, mfT_ref, posT_ref, awkT_ref,
+            awvT_ref, wkT_ref, ck_ref, cv_ref, out_ref, accm, accu,
+            *, kappa: float, num_heads: int, head_dim: int, bc: int,
+            kv_len: int, block_k: int):
+    kb = pl.program_id(1)
+    nkb = pl.num_programs(1)
+    D = head_dim
+    padded = kv_len % block_k != 0
+
+    @pl.when(kb == 0)
+    def _init():
+        accm[:] = jnp.zeros_like(accm)
+        accu[:] = jnp.zeros_like(accu)
+
+    if padded:
+        k_idx = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        pad_f = (k_idx < kv_len).astype(fT_ref.dtype)   # [1, bk] 1=real key
+    else:
+        pad_f = None
+
+    cb = pl.program_id(0)
+    _tile_body(qn_ref, me_ref, fT_ref, mfT_ref, posT_ref, awkT_ref, awvT_ref,
+               wkT_ref, ck_ref, cv_ref, accm, accu,
+               lambda b: present_ref[cb * bc + b] != 0, pad_f,
+               kappa=kappa, num_heads=num_heads, head_dim=head_dim, bc=bc,
+               block_k=block_k)
+
     @pl.when(kb == nkb - 1)
     def _finalize():
         l_m = accm[:, :, :, D:D + 1]                # ones-row sums
@@ -148,9 +267,61 @@ def _kernel(present_ref, qn_ref, me_ref, fT_ref, mfT_ref, posT_ref, awkT_ref,
         out_ref[:] = (num / jnp.maximum(den, 1e-30)).astype(out_ref.dtype)
 
 
+def _kernel_skip(present_ref, tl_ref, np_ref, occ_ref, qn_ref, me_ref, fT_ref,
+                 mfT_ref, posT_ref, awkT_ref, awvT_ref, wkT_ref, ck_ref,
+                 cv_ref, out_ref, accm, accu,
+                 *, kappa: float, num_heads: int, head_dim: int, bc: int,
+                 kv_len: int, block_k: int):
+    """Tile-skipping variant: iterates scalar-prefetched tile_list positions.
+    Tail positions (>= n_present) revisit the last present tile - the block
+    index is unchanged so the pipeline elides the DMA - and skip all compute.
+    The extra output column D carries each query's masked softmax denominator
+    so the caller can detect a guard row that fired while tiles were skipped
+    (then, and only then, its acc_u missed mass and a full re-run repairs it).
+    """
+    kb = pl.program_id(1)
+    nkb = pl.num_programs(1)
+    D = head_dim
+    padded = kv_len % block_k != 0
+    cb = pl.program_id(0)
+
+    @pl.when(kb == 0)
+    def _init():
+        accm[:] = jnp.zeros_like(accm)
+        accu[:] = jnp.zeros_like(accu)
+
+    @pl.when(kb < np_ref[cb])
+    def _real_tile():
+        tile_id = tl_ref[cb, kb]
+        if padded:
+            k_idx = tile_id * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1)
+            pad_f = (k_idx < kv_len).astype(fT_ref.dtype)
+        else:
+            pad_f = None
+        _tile_body(qn_ref, me_ref, fT_ref, mfT_ref, posT_ref, awkT_ref,
+                   awvT_ref, wkT_ref, ck_ref, cv_ref, accm, accu,
+                   lambda b: ((present_ref[cb * bc + b] != 0)
+                              & (occ_ref[cb * bc + b, tile_id] != 0)), pad_f,
+                   kappa=kappa, num_heads=num_heads, head_dim=head_dim,
+                   bc=bc, block_k=block_k)
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        l_m = accm[:, :, :, D:D + 1]
+        l_u = accu[:, :, :, D:D + 1]
+        guard = l_m <= 0.0
+        num = jnp.where(guard, accu[:, :, :, :D], accm[:, :, :, :D])
+        den = jnp.where(guard, l_u, l_m)
+        out_ref[:, :, :, :D] = (num / jnp.maximum(den, 1e-30)).astype(
+            out_ref.dtype)
+        out_ref[:, :, :, D:] = l_m.astype(out_ref.dtype)
+
+
 @partial(jax.jit, static_argnames=("kappa", "block_k", "block_b", "interpret"))
 def fused_uoms_cross_attention(qn, featT, mfT, me, posT, awk, awv, wk, ck, cv,
-                               present=None, kappa: float = 30.0,
+                               present=None, tile_plan: TilePlan = None,
+                               kappa: float = 30.0,
                                block_k: int = 1024, block_b: int = 4,
                                interpret: bool = False):
     """qn: [B, H, Q, D] L2-normalized projected queries; featT: [B, C, K]
@@ -161,9 +332,13 @@ def fused_uoms_cross_attention(qn, featT, mfT, me, posT, awk, awv, wk, ck, cv,
     ck/cv: [E] constants (level_embed / biases folded); present: optional [B]
     bool - batch entries marked absent SKIP all compute (their output is zero;
     used for empty RoI-crop slots whose results are discarded downstream).
-    Returns [B, H, Q, D] UN-normalized attention output with the
-    all-masked-row guard applied (caller L2-normalizes and applies the out
-    projection)."""
+    tile_plan: optional TilePlan from plan_tile_skip(me, *mf_tile_bounds(mfT,
+    block_k), block_b) - elides certified-all-masked K tiles, bit-identically
+    (a guard row firing on an image with skipped tiles triggers an exact full
+    re-run via lax.cond; it cannot occur unless a query's mask removes every
+    key in the image). Returns [B, H, Q, D] UN-normalized attention output
+    with the all-masked-row guard applied (caller L2-normalizes and applies
+    the out projection)."""
     B, H, Q, D = qn.shape
     C, K = featT.shape[1], featT.shape[2]
     Cm = mfT.shape[1]
@@ -197,42 +372,115 @@ def fused_uoms_cross_attention(qn, featT, mfT, me, posT, awk, awv, wk, ck, cv,
     else:
         present_i = jnp.pad(present.astype(jnp.int32), (0, Bp - B))
     grid = (Bp // bc, Kp // block_k)
+    kparams = dict(kappa=float(kappa), num_heads=H, head_dim=D, bc=bc,
+                   kv_len=K, block_k=block_k)
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024)
+    scratch = [
+        pltpu.VMEM((bc, H, Qp, D + 1), jnp.float32),  # masked acc (+l col)
+        pltpu.VMEM((bc, H, Qp, D + 1), jnp.float32),  # unmasked acc (+l col)
+    ]
 
-    out = pl.pallas_call(
-        partial(_kernel, kappa=float(kappa), num_heads=H, head_dim=D, bc=bc,
-                kv_len=K, block_k=block_k),
+    def run_full():
+        out = pl.pallas_call(
+            partial(_kernel, **kparams),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((Bp,), lambda c, kb: (0,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((bc, H, Qp, D), lambda c, kb: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, Qp, Cm), lambda c, kb: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, C, block_k), lambda c, kb: (c, 0, kb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, Cm, block_k), lambda c, kb: (c, 0, kb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E, block_k), lambda c, kb: (0, kb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E, C), lambda c, kb: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E, C), lambda c, kb: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E, E), lambda c, kb: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E, 1), lambda c, kb: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E, 1), lambda c, kb: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bc, H, Qp, D), lambda c, kb: (c, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, H, Qp, D), qn.dtype),
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+            interpret=interpret,
+        )(present_i, qn, me, featT, mfT, posT, awkT, awvT, wkT, ck2, cv2)
+        return out
+
+    if tile_plan is None:
+        return run_full()[:B, :, :Q, :]
+
+    tl, npres, occ = tile_plan
+    assert tl.shape == (Bp // bc, Kp // block_k) and occ.shape[1] == tl.shape[1], \
+        "tile_plan was built for a different block_k/block_b"
+    occp = occ if occ.shape[0] == Bp else jnp.pad(
+        occ, ((0, Bp - occ.shape[0]), (0, 0)))
+
+    # index maps receive the scalar-prefetch refs (present, tl, np, occ)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Bp,), lambda c, kb: (0,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((bc, H, Qp, D), lambda c, kb: (c, 0, 0, 0),
+            pl.BlockSpec((bc, H, Qp, D), lambda c, kb, p, t, n, o: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, Qp, Cm), lambda c, kb: (c, 0, 0),
+            pl.BlockSpec((bc, Qp, Cm), lambda c, kb, p, t, n, o: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, C, block_k), lambda c, kb: (c, 0, kb),
+            pl.BlockSpec((bc, C, block_k),
+                         lambda c, kb, p, t, n, o: (c, 0, t[c, kb]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, Cm, block_k), lambda c, kb: (c, 0, kb),
+            pl.BlockSpec((bc, Cm, block_k),
+                         lambda c, kb, p, t, n, o: (c, 0, t[c, kb]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, block_k), lambda c, kb: (0, kb),
+            pl.BlockSpec((E, block_k),
+                         lambda c, kb, p, t, n, o: (0, t[c, kb]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, C), lambda c, kb: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, C), lambda c, kb: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, E), lambda c, kb: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, 1), lambda c, kb: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, 1), lambda c, kb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, C), lambda c, kb, p, t, n, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, C), lambda c, kb, p, t, n, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), lambda c, kb, p, t, n, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 1), lambda c, kb, p, t, n, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 1), lambda c, kb, p, t, n, o: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bc, H, Qp, D), lambda c, kb: (c, 0, 0, 0),
+        out_specs=pl.BlockSpec((bc, H, Qp, D + 1),
+                               lambda c, kb, p, t, n, o: (c, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, H, Qp, D), qn.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bc, H, Qp, D + 1), jnp.float32),  # masked acc (+l col)
-            pltpu.VMEM((bc, H, Qp, D + 1), jnp.float32),  # unmasked acc (+l col)
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
+        scratch_shapes=scratch,
+    )
+    out2 = pl.pallas_call(
+        partial(_kernel_skip, **kparams),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, H, Qp, D + 1), qn.dtype),
+        compiler_params=cparams,
         interpret=interpret,
-    )(present_i, qn, me, featT, mfT, posT, awkT, awvT, wkT, ck2, cv2)
+    )(present_i, tl, npres, occp, qn, me, featT, mfT, posT, awkT, awvT, wkT,
+      ck2, cv2)
+
+    # guard fix-up: a query whose mask removed EVERY key must attend to ALL
+    # keys - if one fired on an image that skipped tiles, acc_u is missing
+    # those tiles' unmasked mass; re-run without skipping (exact; in practice
+    # this never triggers because a skipped plan implies concentrated masks).
+    lm = out2[:B, 0, :Q, D].astype(jnp.float32)        # mask shared over heads
+    incomplete = jnp.any(occp[:B] == 0, axis=-1)       # image skipped something
+    pres_b = (jnp.ones((B,), bool) if present is None
+              else present.astype(bool))
+    fix = jnp.any((lm <= 0.0) & incomplete[:, None] & pres_b[:, None])
+    out = jax.lax.cond(fix, run_full, lambda: out2[:, :, :, :D])
     return out[:B, :, :Q, :]
 
 
