@@ -18,9 +18,11 @@ from unseenobjectswithmeanshift_tpu.config import get_config
 from unseenobjectswithmeanshift_tpu.pipeline.ucn import UCNPredictor
 
 
-def main():
+def main(use_pallas_ms=True):
     cfg = get_config("tabletop_pretrained")
     cfg_crop = get_config("crop_tabletop_pretrained")
+    cfg.mean_shift.use_pallas = use_pallas_ms
+    cfg_crop.mean_shift.use_pallas = use_pallas_ms
     B, H, W = 4, 480, 640
     pred = UCNPredictor(cfg, cfg_crop, dtype=jnp.bfloat16)
     v1, v2 = pred.init(jax.random.PRNGKey(0), (H, W))
@@ -55,9 +57,15 @@ def main():
     np.asarray(chk(s2(v2, labels_f, crops_f, perm_f, 0, P=P)))
     dt = (time.perf_counter() - t0) / iters
     n_inst = [len([v for v in np.unique(labels[i]) if v >= 1]) for i in range(B)]
-    print(f"UCN two-stage: {dt*1000:.1f} ms/batch ({B/dt:.2f} img/s) "
+    print(f"UCN two-stage ({'pallas' if use_pallas_ms else 'xla'} mean-shift): "
+          f"{dt*1000:.1f} ms/batch ({B/dt:.2f} img/s) "
           f"P={P_used}, instances {n_inst}")
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if "both" in _sys.argv:
+        main(use_pallas_ms=False)
+        main(use_pallas_ms=True)
+    else:
+        main(use_pallas_ms="xla" not in _sys.argv)

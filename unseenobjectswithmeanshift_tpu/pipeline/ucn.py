@@ -26,11 +26,40 @@ import jax.numpy as jnp
 from ..config import Config
 from ..models.segnet import build_segnet
 from ..ops.mean_shift import mean_shift_smart_init
+from ..ops.pallas_mean_shift import mean_shift_smart_init_pallas
 from .postprocess import filter_labels_depth, renumber_labels_by_size
 from .refine import (
     crop_rois, match_label_crop, crop_budget_buckets, pick_crop_budget,
     compact_present, gather_compacted, scatter_crop_labels,
 )
+
+
+# VMEM budget for the resident [d, N] fp32 embedding matrix (v5e: 128 MB VMEM,
+# minus distance scratch + temporaries)
+_PALLAS_MS_VMEM_BYTES = 90 * 1024 * 1024
+
+
+def _cluster_batched(X, ms, first_seed_idx):
+    """[B, N, C] -> [B, N] labels. Routes to the VMEM-resident Pallas kernel
+    (ops/pallas_mean_shift.py) when on TPU and the matrix fits; exact match
+    with the XLA scans either way (test_pallas_mean_shift.py)."""
+    B, N, C = X.shape
+    use_pallas = (getattr(ms, "use_pallas", True)
+                  and jax.default_backend() == "tpu"
+                  and N * C * 4 <= _PALLAS_MS_VMEM_BYTES)
+    if use_pallas:
+        labels, _ = mean_shift_smart_init_pallas(
+            X, kappa=ms.kappa, num_seeds=ms.num_seeds, max_iters=ms.max_iters,
+            epsilon=ms.epsilon, first_seed_idx=first_seed_idx)
+        return labels
+
+    def one(x):
+        lab, _ = mean_shift_smart_init(
+            x, kappa=ms.kappa, num_seeds=ms.num_seeds, max_iters=ms.max_iters,
+            epsilon=ms.epsilon, first_seed_idx=first_seed_idx)
+        return lab
+
+    return jax.vmap(one)(X)
 
 
 class UCNPredictor:
@@ -174,14 +203,9 @@ class UCNPredictor:
         ms = self.cfg.mean_shift
         features = self.network.apply(variables, image, xyz)       # [B, H, W, C]
 
-        def cluster_one(feat):
-            X = feat.reshape(-1, feat.shape[-1]).astype(jnp.float32)
-            labels, _ = mean_shift_smart_init(
-                X, kappa=ms.kappa, num_seeds=ms.num_seeds, max_iters=ms.max_iters,
-                epsilon=ms.epsilon, first_seed_idx=first_seed_idx)
-            return labels.reshape(feat.shape[0], feat.shape[1])
-
-        labels = jax.vmap(cluster_one)(features)                    # [B, H, W]
+        B, Hh, Ww, C = features.shape
+        X = features.reshape(B, Hh * Ww, C).astype(jnp.float32)
+        labels = _cluster_batched(X, ms, first_seed_idx).reshape(B, Hh, Ww)
 
         if xyz is not None:
             labels = jax.vmap(lambda l, d: filter_labels_depth(
@@ -215,14 +239,9 @@ class UCNPredictor:
         S = rgb.shape[1]
         feat_crop = self.network_crop.apply(variables_crop, rgb, dep)
 
-        def cluster_crop(feat):
-            X = feat.reshape(-1, feat.shape[-1]).astype(jnp.float32)
-            lab, _ = mean_shift_smart_init(
-                X, kappa=ms.kappa, num_seeds=ms.num_seeds, max_iters=ms.max_iters,
-                epsilon=ms.epsilon, first_seed_idx=first_seed_idx)
-            return lab.reshape(S, S)
-
-        labels_crop = jax.vmap(cluster_crop)(feat_crop)
+        P, C = feat_crop.shape[0], feat_crop.shape[-1]
+        Xc = feat_crop.reshape(P, S * S, C).astype(jnp.float32)
+        labels_crop = _cluster_batched(Xc, ms, first_seed_idx).reshape(P, S, S)
         # UCN crop labels: 0 = background cluster, objects 1..; match_label_crop's
         # candidate values span 0..T+1, so shift crop labels by +1 too (background
         # stays 0, giving the same keep/paste semantics as the reference, which
