@@ -131,9 +131,14 @@ class MeanShiftConfig:
     max_iters: int = 10
     epsilon: float = 0.04             # 2 * cfg.TRAIN.EMBEDDING_ALPHA (mean_shift.py:123)
     metric: str = "cosine"
-    use_pallas: bool = True           # VMEM-resident seeding/climbing kernel on
-    # TPU (ops/pallas_mean_shift.py; exact-match tested vs the XLA scans).
-    # Ignored off-TPU or when the embedding matrix exceeds VMEM.
+    use_pallas: bool = False          # VMEM-resident seeding/climbing kernel
+    # (ops/pallas_mean_shift.py; exact-match tested vs the XLA scans) measured
+    # 3.6x SLOWER than the XLA scan path on the real chip at 480x640
+    # (787.6 vs 218.1 ms/batch, scripts/profile_ucn.py, round 3) - the
+    # sequential 100-seed farthest-point loop leaves the MXU idle either way
+    # and the kernel pays extra VMEM staging. Kept as an opt-in for study;
+    # the shipped default is the XLA path. Ignored off-TPU or when the
+    # embedding matrix exceeds VMEM.
 
 
 @dataclass
