@@ -80,7 +80,10 @@ def main():
     dtype = jnp.bfloat16
 
     BATCH = int(jax.device_count())  # single chip -> 1
-    B = max(1, BATCH) * 4            # 4 images per chip per step
+    B = max(1, BATCH) * 8            # 8 images per chip per step: the round-3
+    # batch sweep (scripts/profile_batch.py) measured B=8 at 230.4 ms/batch =
+    # 34.7 img/s, +10.4% over B=4 - the round-2 "B=8 HBM cliff" (617 ms at
+    # P=48) was resolved by the stage-2 crop-buffer donation (commit 6ecfe19)
     H, W = 480, 640
 
     # ---- on-device kernel selftest: compiled Mosaic vs pure-JAX reference ----
@@ -189,8 +192,77 @@ def main():
           f"of {B * T} slots (bucketed compaction)")
 
     img_per_sec = B / dt_full
+
+    # ---- informational: the trained-model regime (decisive heads) with the
+    # EXACT tile-skip opt-in (decoder.tile_skip; bit-identical by contract,
+    # tests/test_tile_skip.py). Random weights leave attention masks dense, so
+    # the headline number above can't show what mask concentration buys; this
+    # block scales the mask/class heads so logits commit (the technique from
+    # tests/test_e2e_parity.py - a proxy for trained weights, NOT a parity
+    # claim), then measures the same pipeline with tile_skip on and off on the
+    # SAME decisive weights and checks the label images stay bit-identical.
+    def _decisive(variables):
+        def scale(path, v):
+            keys = [getattr(k, "key", "") for k in path]
+            if "mask_embed" in keys and "layers_2" in keys:
+                return v * 30.0
+            if "class_embed" in keys:
+                return v * 20.0
+            return v
+        return jax.tree_util.tree_map_with_path(scale, variables)
+
+    def _stream(s1_, s2_, buckets, w1, w2, n_iters=10):
+        def pop_(pending):
+            labels_, crops_, perm_, count_ = pending.popleft()
+            P = next(b for b in buckets(perm_.shape[0]) if b >= int(count_))
+            return labels_, s2_(w2, labels_, crops_, perm_, P=P)
+        pending = deque(s1_(w1, img, xyz, osd=False) for _ in range(2))
+        lab, ref_ = pop_(pending)
+        lab, ref_ = np.asarray(lab), np.asarray(ref_)
+        np.asarray(chk(pop_(pending)[1]))
+        t0_ = time.perf_counter()
+        pending, last_ = deque(), None
+        for _ in range(n_iters):
+            pending.append(s1_(w1, img, xyz, osd=False))
+            if len(pending) > DEPTH:
+                last_ = pop_(pending)[1]
+        while pending:
+            last_ = pop_(pending)[1]
+        np.asarray(chk(last_))
+        return (time.perf_counter() - t0_) / n_iters, lab, ref_
+
+    try:
+        dv1, dv2 = _decisive(v1), _decisive(v2)
+        dt_dec, lab_dec, ref_dec = _stream(s1, s2, pred._buckets, dv1, dv2)
+        cfg_ts = get_config("tabletop_pretrained")
+        cfg_crop_ts = get_config("crop_tabletop_pretrained")
+        cfg_ts.decoder.tile_skip = True
+        cfg_crop_ts.decoder.tile_skip = True
+        pred_ts = TwoStagePredictor(cfg_ts, cfg_crop_ts, dtype=dtype)
+        pred_ts._ensure_bucketed_jits()
+        dt_ts, lab_ts, ref_ts = _stream(pred_ts._s1_fn, pred_ts._s2_fn,
+                                        pred_ts._buckets, dv1, dv2)
+        agree1 = float(np.mean(lab_dec == lab_ts))
+        agree2 = float(np.mean(ref_dec == ref_ts))
+        print(f"# trained-regime proxy (decisive heads): "
+              f"{B / dt_dec:6.2f} img/s dense, "
+              f"{B / dt_ts:6.2f} img/s with tile-skip "
+              f"({dt_dec / dt_ts:.2f}x); label agreement "
+              f"s1={agree1:.4f} s2={agree2:.4f}. NOTE: decisive heads on "
+              f"random FEATURES make masks commit but not spatially "
+              f"concentrate, so occupancy stays ~100% and tile-skip pays "
+              f"its planning overhead - see the occupancy-controlled "
+              f"measurements in README (50% tiles -> 39.9 img/s projected, "
+              f"scripts/profile_tile_skip.py).")
+    except Exception as e:  # informational only - never void the headline
+        print(f"# trained-regime tile-skip block skipped: "
+              f"{type(e).__name__}: {str(e)[:200]}")
+
     print(f"# vs_target (5x stretch, {TARGET:.0f} img/s): "
           f"{img_per_sec / TARGET:.4f}")
+    print("# accuracy parity (87.3 OCID F-measure) remains BLOCKED on the "
+          "published checkpoints + real OCID/OSD datasets (no egress); this "
+          "is a throughput number only - see README 'Accuracy-parity status'")
     print(json.dumps({
         "metric": "ocid_640x480_rgbd_two_stage_images_per_sec_per_chip",
         "value": round(img_per_sec, 3),
