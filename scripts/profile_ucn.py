@@ -18,11 +18,14 @@ from unseenobjectswithmeanshift_tpu.config import get_config
 from unseenobjectswithmeanshift_tpu.pipeline.ucn import UCNPredictor
 
 
-def main(use_pallas_ms=True):
+def main(mode="fps", labels_out=None):
+    """mode: 'xla' (scan path), 'fps' (round-3 seeding-only kernel, default),
+    'pallas' (the rejected full kernel, kept for study)."""
     cfg = get_config("tabletop_pretrained")
     cfg_crop = get_config("crop_tabletop_pretrained")
-    cfg.mean_shift.use_pallas = use_pallas_ms
-    cfg_crop.mean_shift.use_pallas = use_pallas_ms
+    for c in (cfg, cfg_crop):
+        c.mean_shift.use_pallas = mode == "pallas"
+        c.mean_shift.use_pallas_seeding = mode == "fps"
     B, H, W = 4, 480, 640
     pred = UCNPredictor(cfg, cfg_crop, dtype=jnp.bfloat16)
     v1, v2 = pred.init(jax.random.PRNGKey(0), (H, W))
@@ -57,15 +60,25 @@ def main(use_pallas_ms=True):
     np.asarray(chk(s2(v2, labels_f, crops_f, perm_f, 0, P=P)))
     dt = (time.perf_counter() - t0) / iters
     n_inst = [len([v for v in np.unique(labels[i]) if v >= 1]) for i in range(B)]
-    print(f"UCN two-stage ({'pallas' if use_pallas_ms else 'xla'} mean-shift): "
+    print(f"UCN two-stage ({mode} mean-shift): "
           f"{dt*1000:.1f} ms/batch ({B/dt:.2f} img/s) "
           f"P={P_used}, instances {n_inst}")
+    if labels_out is not None:
+        labels_out[mode] = labels
+    return labels
 
 
 if __name__ == "__main__":
     import sys as _sys
     if "both" in _sys.argv:
-        main(use_pallas_ms=False)
-        main(use_pallas_ms=True)
+        out = {}
+        main("xla", out)
+        main("fps", out)
+        agree = float(np.mean(out["xla"] == out["fps"]))
+        print(f"refined-label agreement fps vs xla: {agree:.4f} "
+              f"(seed chains may diverge on fp32 near-ties; "
+              f"clustering-equivalent modes)")
     else:
-        main(use_pallas_ms="xla" not in _sys.argv)
+        mode = "xla" if "xla" in _sys.argv else (
+            "pallas" if "pallas" in _sys.argv else "fps")
+        main(mode)

@@ -66,3 +66,39 @@ def test_full_clustering_matches_xla(rng):
         np.testing.assert_array_equal(np.asarray(idx_p[b]), np.asarray(idx_ref))
         np.testing.assert_array_equal(np.asarray(labels_p[b]),
                                       np.asarray(labels_ref))
+
+
+def test_fps_seeds_match_xla(rng):
+    """Round-3 seeding-only kernel: the discrete argmax chain must match the
+    XLA scan exactly (same formula, same tie-breaking, padded lanes inert)."""
+    from unseenobjectswithmeanshift_tpu.ops.pallas_mean_shift import (
+        fps_seeds_pallas)
+
+    B, n, d, S = 2, 600, 16, 12   # n=600 pads to 1024
+    X = np.stack([clustered_points(rng, n, d) for _ in range(B)])
+    seeds_p, idx_p = fps_seeds_pallas(
+        jnp.asarray(X), jnp.asarray([3, 77], np.int32), num_seeds=S,
+        interpret=True)
+    for b, f0 in enumerate((3, 77)):
+        seeds_ref, idx_ref = select_smart_seeds(jnp.asarray(X[b]), S, f0)
+        np.testing.assert_array_equal(np.asarray(idx_p[b]), np.asarray(idx_ref))
+        np.testing.assert_allclose(np.asarray(seeds_p[b]),
+                                   np.asarray(seeds_ref), atol=2e-6)
+
+
+def test_fps_full_clustering_matches_xla(rng):
+    from unseenobjectswithmeanshift_tpu.ops.pallas_mean_shift import (
+        mean_shift_smart_init_fps)
+
+    B, n, d, S = 2, 512, 16, 10
+    X = np.stack([clustered_points(rng, n, d, k=4) for _ in range(B)])
+    labels_p, idx_p = mean_shift_smart_init_fps(
+        jnp.asarray(X), kappa=20.0, num_seeds=S, max_iters=5,
+        epsilon=0.04, first_seed_idx=0, interpret=True)
+    for b in range(B):
+        labels_ref, idx_ref = mean_shift_smart_init(
+            jnp.asarray(X[b]), kappa=20.0, num_seeds=S, max_iters=5,
+            epsilon=0.04, first_seed_idx=0)
+        np.testing.assert_array_equal(np.asarray(idx_p[b]), np.asarray(idx_ref))
+        np.testing.assert_array_equal(np.asarray(labels_p[b]),
+                                      np.asarray(labels_ref))

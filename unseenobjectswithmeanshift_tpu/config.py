@@ -139,6 +139,14 @@ class MeanShiftConfig:
     # and the kernel pays extra VMEM staging. Kept as an opt-in for study;
     # the shipped default is the XLA path. Ignored off-TPU or when the
     # embedding matrix exceeds VMEM.
+    use_pallas_seeding: bool = True   # round-3 seeding-ONLY kernel
+    # (fps_seeds_pallas): X^T VMEM-resident, per-seed row fetched by a 256-B
+    # dynamic HBM DMA instead of the full one-hot matmul gather that sank the
+    # full kernel above. Seeding measured as ~2/3 of the whole UCN pipeline
+    # (scripts/profile_ucn_breakdown.py); hill climbing / CC / assignment
+    # stay on the tested XLA ops. Same discrete seed-index chain as the XLA
+    # scan (tests/test_pallas_mean_shift.py). Ignored off-TPU, when the
+    # matrix exceeds VMEM, or when use_pallas (the full kernel) is set.
 
 
 @dataclass

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..config import Config
 from ..models.segnet import build_segnet
 from ..ops.mean_shift import mean_shift_smart_init
-from ..ops.pallas_mean_shift import mean_shift_smart_init_pallas
+from ..ops.pallas_mean_shift import (mean_shift_smart_init_fps,
+                                     mean_shift_smart_init_pallas)
 from .postprocess import filter_labels_depth, renumber_labels_by_size
 from .refine import (
     crop_rois, match_label_crop, crop_budget_buckets, pick_crop_budget,
@@ -40,15 +41,25 @@ _PALLAS_MS_VMEM_BYTES = 90 * 1024 * 1024
 
 
 def _cluster_batched(X, ms, first_seed_idx):
-    """[B, N, C] -> [B, N] labels. Routes to the VMEM-resident Pallas kernel
-    (ops/pallas_mean_shift.py) when on TPU and the matrix fits; exact match
-    with the XLA scans either way (test_pallas_mean_shift.py)."""
+    """[B, N, C] -> [B, N] labels. Routes the seeding phase to the
+    VMEM-resident FPS kernel (ops/pallas_mean_shift.py, ~7.5x on the chip,
+    scripts/profile_fps_seeding.py) when on TPU and the matrix fits; the
+    full legacy kernel stays behind use_pallas (measured rejection). The
+    kernel's fp32 MXU matvec rounds differently from XLA's, so on REAL
+    hardware the discrete seed chain can diverge on fp32 near-ties - the
+    final labels are clustering-equivalent (same modes after hill climbing
+    + connected components; agreement measured in scripts/profile_ucn.py).
+    Interpret-mode (CPU tests) matches the XLA scans exactly."""
     B, N, C = X.shape
-    use_pallas = (getattr(ms, "use_pallas", True)
-                  and jax.default_backend() == "tpu"
-                  and N * C * 4 <= _PALLAS_MS_VMEM_BYTES)
-    if use_pallas:
+    on_tpu = jax.default_backend() == "tpu"
+    fits = N * C * 4 <= _PALLAS_MS_VMEM_BYTES
+    if getattr(ms, "use_pallas", False) and on_tpu and fits:
         labels, _ = mean_shift_smart_init_pallas(
+            X, kappa=ms.kappa, num_seeds=ms.num_seeds, max_iters=ms.max_iters,
+            epsilon=ms.epsilon, first_seed_idx=first_seed_idx)
+        return labels
+    if getattr(ms, "use_pallas_seeding", True) and on_tpu and fits:
+        labels, _ = mean_shift_smart_init_fps(
             X, kappa=ms.kappa, num_seeds=ms.num_seeds, max_iters=ms.max_iters,
             epsilon=ms.epsilon, first_seed_idx=first_seed_idx)
         return labels
