@@ -18,9 +18,11 @@ from unseenobjectswithmeanshift_tpu.config import get_config
 from unseenobjectswithmeanshift_tpu.pipeline.ucn import UCNPredictor
 
 
-def main(mode="fps", labels_out=None):
+def main(mode="fps", labels_out=None, loaded=False):
     """mode: 'xla' (scan path), 'fps' (round-3 seeding-only kernel, default),
-    'pallas' (the rejected full kernel, kept for study)."""
+    'pallas' (the rejected full kernel, kept for study). loaded=True disables
+    the depth filter so random-weight clusters survive to stage 2 and the
+    crop path runs at a realistic bucket instead of near-empty."""
     cfg = get_config("tabletop_pretrained")
     cfg_crop = get_config("crop_tabletop_pretrained")
     for c in (cfg, cfg_crop):
@@ -38,7 +40,7 @@ def main(mode="fps", labels_out=None):
     chk = jax.jit(lambda r: jnp.sum(r))
 
     def one_step(prev=None):
-        out = s1(v1, img, xyz, depth_threshold=0.5, first_seed_idx=0)
+        out = s1(v1, img, xyz, depth_threshold=(1e9 if loaded else 0.5), first_seed_idx=0)
         if prev is None:
             return out, None
         labels, crops, perm, counts = prev
@@ -70,10 +72,11 @@ def main(mode="fps", labels_out=None):
 
 if __name__ == "__main__":
     import sys as _sys
+    _loaded = "loaded" in _sys.argv
     if "both" in _sys.argv:
         out = {}
-        main("xla", out)
-        main("fps", out)
+        main("xla", out, loaded=_loaded)
+        main("fps", out, loaded=_loaded)
         agree = float(np.mean(out["xla"] == out["fps"]))
         print(f"refined-label agreement fps vs xla: {agree:.4f} "
               f"(seed chains may diverge on fp32 near-ties; "
@@ -81,4 +84,4 @@ if __name__ == "__main__":
     else:
         mode = "xla" if "xla" in _sys.argv else (
             "pallas" if "pallas" in _sys.argv else "fps")
-        main(mode)
+        main(mode, loaded=_loaded)

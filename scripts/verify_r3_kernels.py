@@ -27,7 +27,12 @@ from unseenobjectswithmeanshift_tpu.ops.pallas_mean_shift import (
 )
 
 
-def check_tile_skip():
+def check_tile_skip(scattered=False):
+    """scattered=True opens every 4th K tile instead of a front-contiguous
+    quarter: the plan's present-first compaction then REORDERS nothing
+    relative order (argsort is stable) but the elided tiles interleave with
+    present ones, exercising the DMA-elision tail and the dense path's
+    masked-tile no-op property at non-contiguous positions."""
     rng = np.random.RandomState(0)
     B, H, Q, D, C, Cm, E, K = 4, 8, 100, 32, 64, 256, 256, 307200
     bk, bb = select_blocks(K)
@@ -42,9 +47,14 @@ def check_tile_skip():
     # concentrated masks: ~1/4 of keys open -> real skipping
     mf = rng.randn(B, Cm, K).astype(np.float32) * 0.02
     me = rng.randn(B, Q, Cm).astype(np.float32) * 0.02
-    n_open = (K // 4 // bk) * bk
     mf[:, 0, :] = 1.0
-    mf[:, 0, :n_open] = -1.0
+    if scattered:
+        # open every 4th K tile (non-contiguous present set)
+        ks = np.arange(K)
+        mf[:, 0, (ks // bk) % 4 == 0] = -1.0
+    else:
+        n_open = (K // 4 // bk) * bk
+        mf[:, 0, :n_open] = -1.0
     me[:, :, 0] = -5.0
     mfT = jnp.asarray(mf).astype(dt)
     meJ = jnp.asarray(me).astype(dt)
@@ -57,7 +67,9 @@ def check_tile_skip():
         qn, featT, mfT, meJ, posT, awk, awv, wk, ck, cv,
         tile_plan=plan, block_k=bk, block_b=bb))
     same = np.array_equal(full, skip)
-    print(f"tile-skip compiled: present {frac:.1%}, bit-identical={same}")
+    tag = "scattered" if scattered else "contiguous"
+    print(f"tile-skip compiled ({tag}): present {frac:.1%}, "
+          f"bit-identical={same}")
     assert same
 
 
@@ -88,8 +100,40 @@ def check_pallas_mean_shift():
     assert all(p >= 0.999 for _, p in agree), agree
 
 
+def check_fps_seeding():
+    """The shipped seeding-only kernel: full clustering labels vs the XLA
+    scans at the real stage-1 shape, compiled on the chip."""
+    from unseenobjectswithmeanshift_tpu.ops.pallas_mean_shift import (
+        mean_shift_smart_init_fps)
+
+    rng = np.random.RandomState(2)
+    B, n, d, S, iters = 2, 480 * 640, 64, 100, 10
+    centers = rng.randn(6, d)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = centers[rng.randint(0, 6, B * n)] + 0.1 * rng.randn(B * n, d)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = X.reshape(B, n, d).astype(np.float32)
+    lab_p, idx_p = mean_shift_smart_init_fps(
+        jnp.asarray(X), kappa=20.0, num_seeds=S, max_iters=iters,
+        epsilon=0.04, first_seed_idx=0)
+    lab_p, idx_p = np.asarray(lab_p), np.asarray(idx_p)
+    agree = []
+    for b in range(B):
+        lab_r, idx_r = mean_shift_smart_init(
+            jnp.asarray(X[b]), kappa=20.0, num_seeds=S, max_iters=iters,
+            epsilon=0.04, first_seed_idx=0)
+        idx_same = np.array_equal(idx_p[b], np.asarray(idx_r))
+        pix = float((lab_p[b] == np.asarray(lab_r)).mean())
+        agree.append((idx_same, pix))
+    print(f"fps seeding kernel compiled vs XLA: seed-chain match + pixel "
+          f"agreement per image: {agree}")
+    assert all(p >= 0.999 for _, p in agree), agree
+
+
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}")
     check_tile_skip()
+    check_tile_skip(scattered=True)
     check_pallas_mean_shift()
+    check_fps_seeding()
     print("OK")
