@@ -76,11 +76,13 @@ def measure(pred, v1, v2, img, xyz):
     return dt, labels, np.asarray(refined)
 
 
-def run(tile_skip, make_decisive):
+def run(tile_skip, make_decisive, force_all=False):
     cfg = get_config("tabletop_pretrained")
     cfg_crop = get_config("crop_tabletop_pretrained")
     cfg.decoder.tile_skip = tile_skip
     cfg_crop.decoder.tile_skip = tile_skip
+    cfg.decoder.tile_skip_force_all = force_all
+    cfg_crop.decoder.tile_skip_force_all = force_all
     pred = TwoStagePredictor(cfg, cfg_crop, dtype=jnp.bfloat16)
     v1, v2 = pred.init(jax.random.PRNGKey(0), (H, W),
                        crop_size=cfg.test.crop_size)
@@ -91,10 +93,20 @@ def run(tile_skip, make_decisive):
     xyz = jnp.asarray((rng.rand(B, H, W, 3) * 2).astype(np.float32))
     dt, labels, refined = measure(pred, v1, v2, img, xyz)
     tag = ("decisive" if make_decisive else "random") + (
-        " +tile_skip" if tile_skip else "          ")
+        " +skip+ALL" if (tile_skip and force_all) else
+        (" +tile_skip" if tile_skip else "          "))
     print(f"# {tag}: {dt * 1000:7.2f} ms/batch  ({B / dt:6.2f} img/s)",
           flush=True)
     return dt, labels, refined
+
+
+def diff_report(l0, r0, l1, r1, what):
+    same = np.array_equal(l0, l1) and np.array_equal(r0, r1)
+    print(f"#   -> {what}: labels bit-identical: {same}", flush=True)
+    if not same:
+        print(f"#      stage-1 diff px: {np.mean(l0 != l1):.2e}  "
+              f"stage-2 diff px: {np.mean(r0 != r1):.2e}", flush=True)
+    return same
 
 
 if __name__ == "__main__":
@@ -102,9 +114,25 @@ if __name__ == "__main__":
     for regime in (False, True):
         d0, l0, r0 = run(False, regime)
         d1, l1, r1 = run(True, regime)
-        same = np.array_equal(l0, l1) and np.array_equal(r0, r1)
-        print(f"#   -> speedup {d0 / d1:.2f}x; labels bit-identical: {same}",
-              flush=True)
-        if not same:
-            print(f"#   stage-1 diff px: {np.mean(l0 != l1):.2e}  "
-                  f"stage-2 diff px: {np.mean(r0 != r1):.2e}", flush=True)
+        print(f"#   -> speedup {d0 / d1:.2f}x", flush=True)
+        diff_report(l0, r0, l1, r1, "dense vs tile_skip")
+        # CONTROL: tile_skip graph with the plan forced all-present (plan ops
+        # + scalar-prefetch kernel in the graph, ZERO tiles skipped).
+        #  - control == tile_skip  but != dense  => drift comes from XLA
+        #    scheduling the surrounding graph differently once plan ops are
+        #    added (planner exonerated)
+        #  - control == dense but != tile_skip   => the certificate skips a
+        #    tile it shouldn't (planner hole)
+        dc, lc, rc = run(True, regime, force_all=True)
+        ctrl_vs_dense = diff_report(l0, r0, lc, rc, "CONTROL(all-present) vs dense")
+        ctrl_vs_skip = diff_report(l1, r1, lc, rc, "CONTROL(all-present) vs tile_skip")
+        if ctrl_vs_skip and not ctrl_vs_dense:
+            print("#   VERDICT: drift reproduced with zero tiles skipped -> "
+                  "XLA graph-scheduling difference, planner exonerated",
+                  flush=True)
+        elif ctrl_vs_dense and not ctrl_vs_skip:
+            print("#   VERDICT: drift vanishes when no tiles are skipped -> "
+                  "certificate hole, fix the planner margin", flush=True)
+        elif ctrl_vs_dense and ctrl_vs_skip:
+            print("#   VERDICT: all three bit-identical at this operating "
+                  "point", flush=True)

@@ -1,0 +1,138 @@
+"""Procedural synthetic tabletop scenes: numpy oracle vs on-device pipeline.
+
+The synthetic generator is the training-data source for the learning-
+capability demonstration (no real TOD/OCID data in this environment; see
+data/synthetic.py). These tests pin:
+- determinism + train/test split disjointness of the scene stream
+- geometric parity between the JAX renderer (production) and the numpy
+  oracle (same fp32 intersection math)
+- the device batch pipeline's contract with Trainer.jit_train_step
+  (matching loader.label_image_to_instances semantics)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unseenobjectswithmeanshift_tpu.data.synthetic import (
+    SyntheticTabletopDataset, sample_scene_params, render_scene_numpy,
+    KIND_NONE)
+from unseenobjectswithmeanshift_tpu.data.synthetic_jax import (
+    render_scene_batch, stack_scene_params, make_train_batch,
+    SyntheticDeviceLoader, augment_depth, augment_xyz, augment_rgb)
+from unseenobjectswithmeanshift_tpu.data.datasets import fov_intrinsics
+from unseenobjectswithmeanshift_tpu.data.loader import (
+    label_image_to_instances)
+
+H, W = 96, 128
+INTR = fov_intrinsics(W, H)
+IARGS = (float(INTR["fx"]), float(INTR["fy"]),
+         float(INTR["x_offset"]), float(INTR["y_offset"]))
+
+
+def test_scene_params_shapes_and_visibility():
+    p = sample_scene_params(np.random.RandomState(0), INTR, height=H, width=W)
+    assert p["kinds"].shape == (9,) and p["centers"].shape == (9, 3)
+    k = int(np.sum(p["kinds"] != KIND_NONE))
+    assert k >= 3
+    _, _, label = render_scene_numpy(p, H, W, INTR)
+    # pixel-targeted placement: most sampled objects are actually visible
+    assert len(np.unique(label)) - 1 >= max(2, k - 2)
+
+
+def test_deterministic_and_split_disjoint():
+    kw = dict(num_scenes=10, height=H, width=W, use_augmentation=False,
+              chromatic=False, add_noise=False, seed=3)
+    a = SyntheticTabletopDataset(image_set="train", **kw)[2]
+    b = SyntheticTabletopDataset(image_set="train", **kw)[2]
+    c = SyntheticTabletopDataset(image_set="test", **kw)[2]
+    assert np.array_equal(a["label"], b["label"])
+    assert np.array_equal(a["image"], b["image"])
+    assert not np.array_equal(a["label"], c["label"])
+
+
+def test_jax_renderer_matches_numpy_oracle():
+    ps = [sample_scene_params(np.random.RandomState(i), INTR,
+                              height=H, width=W) for i in range(4)]
+    rgb_j, dep_j, lab_j = render_scene_batch(
+        stack_scene_params(ps), H, W, *IARGS)
+    for i in range(4):
+        rgb_n, dep_n, lab_n = render_scene_numpy(ps[i], H, W, INTR)
+        # identical fp32 math; tolerate a sliver of silhouette pixels where
+        # associativity differs
+        assert np.mean(np.asarray(lab_j[i]) != lab_n) < 2e-3
+        both = (lab_n == np.asarray(lab_j[i]))
+        d = np.abs(np.asarray(dep_j[i]) - dep_n)[both]
+        assert d.max() < 1e-3
+        r = np.abs(np.asarray(rgb_j[i]) - rgb_n)
+        # rgb differs where bicubic upsampling differs (table mottle) and on
+        # silhouettes; everywhere else it should be close
+        assert np.quantile(r, 0.99) < 0.08
+
+
+def test_make_train_batch_contract():
+    loader = SyntheticDeviceLoader(batch_size=2, height=H, width=W,
+                                   max_gt=12, seed=1)
+    b = loader.batch_at(0)
+    assert b["image"].shape == (2, H, W, 3)
+    assert b["xyz"].shape == (2, H, W, 3)
+    assert b["gt_masks"].shape == (2, 12, H, W)
+    assert b["gt_valid"].shape == (2, 12)
+    v = np.asarray(b["gt_valid"])
+    # valid slots contiguous (the Trainer contract)
+    for row in v:
+        nz = np.nonzero(row)[0]
+        assert row[:len(nz)].all()
+    # masks disjoint, label_image consistent with masks
+    m = np.asarray(b["gt_masks"])
+    assert (m.sum(1) <= 1.0 + 1e-6).all()
+    li = np.asarray(b["label_image"])
+    for bb in range(2):
+        for g in np.nonzero(v[bb])[0]:
+            assert np.array_equal(li[bb] == g + 1, m[bb, g] > 0.5)
+
+
+def test_instances_match_host_loader():
+    """Device instance extraction == loader.label_image_to_instances on the
+    same (renumber-free) label image."""
+    ps = [sample_scene_params(np.random.RandomState(7), INTR,
+                              height=H, width=W)]
+    _, _, lab = render_scene_batch(stack_scene_params(ps), H, W, *IARGS)
+    lab = np.asarray(lab[0])
+    mh, lh, vh, rh = label_image_to_instances(lab, 12)
+    b = make_train_batch(jax.random.PRNGKey(0), stack_scene_params(ps),
+                         H, W, *IARGS, max_gt=12, augment=False)
+    # host loader compacts by unique-id order; device compacts by slot order.
+    # Slot ids are increasing, so orders agree.
+    assert np.array_equal(np.asarray(b["gt_valid"][0]), vh)
+    assert np.array_equal(np.asarray(b["gt_masks"][0]), mh)
+    assert np.array_equal(np.asarray(b["label_image"][0]), rh)
+
+
+def test_augment_statistics():
+    key = jax.random.PRNGKey(0)
+    depth = jnp.full((H, W), 1.2, jnp.float32)
+    out = augment_depth(key, depth)
+    out = np.asarray(out)
+    # multiplicative gamma(1000, 0.001): mean 1, sd ~0.03
+    nz = out[out > 0]
+    assert abs(nz.mean() / 1.2 - 1.0) < 0.15
+    # some ellipse dropout happened (Poisson(10) rarely 0)
+    assert (out == 0).sum() > 0
+    xyz = jnp.zeros((H, W, 3))
+    x2 = np.asarray(augment_xyz(key, xyz, depth))
+    assert 0 < np.abs(x2).max() < 0.05
+    rgb = jnp.full((H, W, 3), 0.5, jnp.float32)
+    r2 = np.asarray(augment_rgb(key, rgb))
+    assert r2.shape == rgb.shape and r2.min() >= 0 and r2.max() <= 1
+
+
+def test_hls_roundtrip():
+    from unseenobjectswithmeanshift_tpu.data.synthetic_jax import (
+        _rgb_to_hls, _hls_to_rgb)
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(32, 32, 3).astype(np.float32))
+    h, l, s = _rgb_to_hls(rgb)
+    back = _hls_to_rgb(h, l, s)
+    assert np.abs(np.asarray(back) - np.asarray(rgb)).max() < 1e-4

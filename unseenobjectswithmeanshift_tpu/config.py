@@ -83,6 +83,9 @@ class DecoderConfig:
     # Saves time proportional to mask concentration - trained weights
     # concentrate, random weights skip ~nothing. Fused-Pallas inference only.
     tile_skip: bool = False
+    # control-experiment switch: tile_skip graph with the plan forced
+    # all-present (zero tiles skipped) - see plan_tile_skip(force_all=True)
+    tile_skip_force_all: bool = False
 
 
 @dataclass

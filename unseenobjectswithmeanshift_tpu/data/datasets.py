@@ -326,9 +326,11 @@ DATASETS = {
 def _register_uoais():
     # deferred: uoais imports from this module
     from .uoais import UOAISSimDataset, OSDObjectUOAIS, OCIDObjectUOAIS
+    from .synthetic import SyntheticTabletopDataset
 
     DATASETS.setdefault("osd_object_uoais", OSDObjectUOAIS)
     DATASETS.setdefault("ocid_object_uoais", OCIDObjectUOAIS)
+    DATASETS.setdefault("synthetic_tabletop", SyntheticTabletopDataset)
 
 
 def get_dataset(name: str, root: str, **kwargs):
@@ -336,4 +338,9 @@ def get_dataset(name: str, root: str, **kwargs):
     get_dataset('tabletop_object', root, image_set='train')."""
     if name not in DATASETS:
         _register_uoais()
+    if name == "synthetic_tabletop":
+        # procedural: no files on disk; root (if given) is the scene count
+        if root not in (None, ""):
+            kwargs.setdefault("num_scenes", int(root))
+        return DATASETS[name](**kwargs)
     return DATASETS[name](root, **kwargs)

@@ -61,6 +61,7 @@ class MultiheadAttention(nn.Module):
     meanshift: bool = True
     kappa: float = 30.0
     use_pallas: bool = False
+    tile_skip_force_all: bool = False   # plan_tile_skip control mode
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -111,7 +112,8 @@ class MultiheadAttention(nn.Module):
             # exact masked K-tile skipping: mfb = per-tile mask-feature bounds
             # (computed once per forward); the plan certifies all-masked tiles
             # from THIS layer's mask embed and elides them bit-identically
-            plan = (plan_tile_skip(me_sg, mfb[0], mfb[1], bb, present=present)
+            plan = (plan_tile_skip(me_sg, mfb[0], mfb[1], bb, present=present,
+                                   force_all=self.tile_skip_force_all)
                     if mfb is not None else None)
             out = fused_uoms_cross_attention(
                 q, featT, mfT, me_sg, posT.astype(dt),
@@ -268,6 +270,9 @@ class MeanShiftDecoder(nn.Module):
     # bit-identical output, saves time proportional to how much the previous
     # layer's attention masks concentrate (trained weights; random weights
     # skip ~nothing). Inference-only (the fused path already is).
+    tile_skip_force_all: bool = False   # control experiment: tile_skip graph
+    # (plan ops + scalar-prefetch kernel variant) with every tile certified
+    # present - isolates planner-certificate drift from XLA-scheduling drift
     remat: bool = False                 # checkpoint the attention modules (training:
     # the unfused masked attention holds [B, H, Q, K] logits - 3.9 GB fp32 at
     # 480x640 batch 4 - per layer; remat recomputes them in backward instead)
@@ -350,6 +355,12 @@ class MeanShiftDecoder(nn.Module):
                 mf_l = mask_features
                 if ks > 1:
                     mf_l = mf_l[:, ::ks, ::ks]
+                    if mf_l.shape[1:3] != (h, w):
+                        raise ValueError(
+                            f"key_stride={ks}: strided mask_features "
+                            f"{mf_l.shape[1:3]} do not match the strided "
+                            f"feature level ({h}, {w}); key_stride requires "
+                            f"mask_features at the feature-map resolution")
                 elif mf_l.shape[1:3] != (h, w):
                     # resize(me.mf) == me.resize(mf): one resize per level
                     # replaces the per-layer [B, Q, H, W] logit resize (:1028)
@@ -436,7 +447,8 @@ class MeanShiftDecoder(nn.Module):
             attn = AttnModule(
                 embed_dim=E, num_heads=self.nheads,
                 meanshift=self.use_meanshift_cross_attention,
-                kappa=self.kappa, use_pallas=self.use_pallas, dtype=dt,
+                kappa=self.kappa, use_pallas=self.use_pallas,
+                tile_skip_force_all=self.tile_skip_force_all, dtype=dt,
                 name=f"cross_attn_{i}")
             if fused:
                 # head_aux is the previous prediction head's mask embed

@@ -115,6 +115,7 @@ class MSMFormer(nn.Module):
             use_pallas=use_pallas, materialize_masks=not light,
             key_stride=1 if train else d.key_stride,
             tile_skip=(not train) and d.tile_skip,
+            tile_skip_force_all=d.tile_skip_force_all,
             remat=train and c.train_remat_attention,
             dtype=self.dtype, name="predictor")
         outputs = decoder(multi_scale, mask_features, present=present)
@@ -233,6 +234,7 @@ class StandardMaskFormer(nn.Module):
             use_pallas=use_pallas, materialize_masks=not light,
             key_stride=1 if train else d.key_stride,
             tile_skip=(not train) and d.tile_skip,
+            tile_skip_force_all=d.tile_skip_force_all,
             remat=train and c.train_remat_attention,
             dtype=self.dtype,
             name="predictor")

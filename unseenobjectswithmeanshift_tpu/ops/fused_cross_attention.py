@@ -118,7 +118,8 @@ def mf_tile_bounds(mfT, block_k: int):
     return r.max(-1), r.min(-1)
 
 
-def plan_tile_skip(me, mx, mn, block_b: int, present=None) -> TilePlan:
+def plan_tile_skip(me, mx, mn, block_b: int, present=None,
+                   force_all: bool = False) -> TilePlan:
     """Build the per-layer plan from the previous layer's mask embed.
 
     me: [B, Q, Cm] (real queries only - padded query rows have me=0 and are
@@ -126,6 +127,13 @@ def plan_tile_skip(me, mx, mn, block_b: int, present=None) -> TilePlan:
     they must not pin tiles present). mx/mn: from mf_tile_bounds. present:
     optional [B] bool - absent images (empty crop slots with garbage mask
     embeds) must not pin tiles into their block's union.
+
+    force_all: control-experiment mode - keep every plan op in the graph
+    (bounds einsums, sort, tile list) but certify EVERY tile present, so the
+    tile-skip kernel variant runs with zero tiles actually skipped. Used to
+    isolate whether an observed end-to-end drift comes from the certificate
+    (drift vanishes -> planner hole) or from XLA scheduling the surrounding
+    graph differently once plan ops are added (drift persists).
     """
     f32 = jnp.float32
     B = me.shape[0]
@@ -142,6 +150,10 @@ def plan_tile_skip(me, mx, mn, block_b: int, present=None) -> TilePlan:
                       jnp.maximum(jnp.abs(mx), jnp.abs(mn)))
     occ_q = (ub + 1e-3 * absb) >= 0.0          # [B, Q, T] possibly unmasked
     occ = jnp.any(occ_q, axis=1)               # [B, T]
+    if force_all:
+        # x == x is elementwise-true for finite bounds and NOT constant-folded
+        # by XLA (NaN semantics), so the bounds computation stays in the graph
+        occ = occ | jnp.any(ub == ub, axis=1)
     if present is not None:
         occ = occ & present.astype(bool)[:, None]
     B, T = occ.shape
@@ -423,8 +435,14 @@ def fused_uoms_cross_attention(qn, featT, mfT, me, posT, awk, awv, wk, ck, cv,
         return run_full()[:B, :, :Q, :]
 
     tl, npres, occ = tile_plan
-    assert tl.shape == (Bp // bc, Kp // block_k) and occ.shape[1] == tl.shape[1], \
-        "tile_plan was built for a different block_k/block_b"
+    # explicit raise (not assert): a plan built for a different block_k/block_b
+    # would index wrong or out-of-range tiles silently, and asserts are
+    # stripped under python -O
+    if tl.shape != (Bp // bc, Kp // block_k) or occ.shape[1] != tl.shape[1]:
+        raise ValueError(
+            f"tile_plan was built for a different block_k/block_b: "
+            f"tile list {tl.shape} / occupancy {occ.shape} vs expected "
+            f"({Bp // bc}, {Kp // block_k})")
     occp = occ if occ.shape[0] == Bp else jnp.pad(
         occ, ((0, Bp - occ.shape[0]), (0, 0)))
 

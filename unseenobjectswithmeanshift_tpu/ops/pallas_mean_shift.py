@@ -73,6 +73,11 @@ def _kernel(first_ref, xt_hbm, seeds_ref, idx_ref,
 
     @pl.when(i == 0)
     def _first_seed():
+        if Sp != S:
+            # hygiene: the padded seed rows S..Sp-1 are emitted and run
+            # through exp() in hill climbing; zero them so uninitialized
+            # VMEM can't surface inf/NaN in the (host-sliced-off) padding
+            seeds[:] = jnp.zeros_like(seeds[:])
         idx0 = first_ref[b]
         seed, d0 = gather_matvec(idx0)
         dist[:] = d0
