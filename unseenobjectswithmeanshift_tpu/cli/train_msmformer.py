@@ -23,7 +23,15 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--root", required=True)
+    p.add_argument("--root", default=None,
+                   help="TOD dataset root; not needed with "
+                        "--dataset synthetic")
+    p.add_argument("--dataset", default="tabletop_object",
+                   choices=["tabletop_object", "synthetic"],
+                   help="'synthetic': procedurally generated tabletop scenes "
+                        "rendered ON DEVICE (data/synthetic_jax.py) - no "
+                        "files needed; the learning-capability path when the "
+                        "real TOD data is unavailable")
     p.add_argument("--iters", type=int, default=71000)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--crop", action="store_true")
@@ -67,9 +75,23 @@ def main(argv=None):
 
     image_hw = tuple(args.image_size) if args.image_size else (
         (224, 224) if args.crop else (480, 640))
-    dataset = TableTopObject(args.root, "train", syn_crop=args.crop,
-                             crop_size=224, seed=0)
-    loader = BatchLoader(dataset, args.batch, max_gt=cfg.loss.max_gt_instances)
+    if args.dataset == "synthetic":
+        if args.crop:
+            raise SystemExit("--dataset synthetic trains the whole-image "
+                             "network; SYN_CROP mode needs the file-based "
+                             "dataset (or train at --image-size 224 224)")
+        from ..data.synthetic_jax import SyntheticDeviceLoader
+
+        loader = SyntheticDeviceLoader(
+            args.batch, height=image_hw[0], width=image_hw[1],
+            max_gt=cfg.loss.max_gt_instances, image_set="train", seed=0)
+    else:
+        if not args.root:
+            raise SystemExit("--root is required for the file-based dataset")
+        dataset = TableTopObject(args.root, "train", syn_crop=args.crop,
+                                 crop_size=224, seed=0)
+        loader = BatchLoader(dataset, args.batch,
+                             max_gt=cfg.loss.max_gt_instances)
 
     trainer = Trainer(cfg, dtype=dtype)
     state = trainer.init_state(jax.random.PRNGKey(0), image_hw,
@@ -105,9 +127,26 @@ def main(argv=None):
 
         # evaluation runs on CLEAN samples (no chromatic/depth-noise
         # augmentation - the reference's eval mappers don't augment either)
-        val = TableTopObject(args.root, "test", syn_crop=args.crop,
-                             crop_size=224, seed=1, use_augmentation=False,
-                             chromatic=False, add_noise=False)
+        if args.dataset == "synthetic":
+            # HELD-OUT scene stream: image_set='test' salts the per-index
+            # seed, so these scenes never appear in training. Rendered clean
+            # (augment=False) on device, cached to host once.
+            from ..data.synthetic_jax import SyntheticDeviceLoader
+
+            vload = SyntheticDeviceLoader(
+                1, height=image_hw[0], width=image_hw[1],
+                max_gt=cfg.loss.max_gt_instances, image_set="test", seed=0,
+                augment=False)
+            val = []
+            for i in range(args.eval_samples):
+                vb = jax.device_get(vload.batch_at(i))
+                val.append({"image": vb["image"][0], "xyz": vb["xyz"][0],
+                            "label": vb["label_image"][0]})
+        else:
+            val = TableTopObject(args.root, "test", syn_crop=args.crop,
+                                 crop_size=224, seed=1,
+                                 use_augmentation=False,
+                                 chromatic=False, add_noise=False)
         n_eval = min(args.eval_samples, len(val))
 
         def _labels(variables, img, xyz):
@@ -141,6 +180,9 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
     from ..utils.metrics_log import MetricsLogger
     mlog = MetricsLogger(args.output)
+
+    if args.dataset == "synthetic" and start_it:
+        loader.step = start_it      # deterministic resume of the scene stream
 
     with mesh:
         state = replicate(mesh, state)
