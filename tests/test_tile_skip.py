@@ -138,3 +138,20 @@ def test_tile_skip_with_present_gating(rng):
     np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(full[0]))
     np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(full[2]))
     assert np.all(np.asarray(out[1]) == 0) and np.all(np.asarray(out[3]) == 0)
+
+
+def test_force_all_control(rng):
+    """force_all (the drift-control mode): every tile certified present, and
+    the kernel output stays bit-identical to the full run on concentrated
+    masks (where the normal plan would skip most tiles)."""
+    args = concentrated_inputs(rng)
+    mfT, me = args[2], args[3]
+    plan = plan_tile_skip(me, *mf_tile_bounds(mfT, BK), BB, force_all=True)
+    T = plan.tile_list.shape[1]
+    assert (np.asarray(plan.n_present) == T).all()
+    out = fused_uoms_cross_attention(
+        *args, tile_plan=plan, kappa=30.0, block_k=BK, block_b=BB,
+        interpret=True)
+    out_full = fused_uoms_cross_attention(
+        *args, kappa=30.0, block_k=BK, block_b=BB, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_full))

@@ -47,6 +47,13 @@ def main(argv=None):
                         "0 = disabled, matching every shipped config)")
     p.add_argument("--eval-samples", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--embedding-loss", action="store_true",
+                   help="add the UCN metric-learning loss on the backbone "
+                        "embedding map (MODEL.EMBEDDING USE_EMBEDDING_LOSS, "
+                        "ref: pretrained_meanshiftformer_model.py:316-325). "
+                        "For from-scratch training it supplies the direct "
+                        "cluster-structure signal the reference gets from its "
+                        "separately pretrained frozen UCN backbone")
     p.add_argument("--devices", type=int, default=0,
                    help="mesh over the first N devices (0 = all; useful for "
                         "debugging and small-host CI)")
@@ -71,20 +78,22 @@ def main(argv=None):
 
     cfg = get_config("tabletop_pretrained")
     cfg.solver.base_lr = args.lr
+    if args.embedding_loss:
+        cfg.loss.use_embedding_loss = True
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
     image_hw = tuple(args.image_size) if args.image_size else (
         (224, 224) if args.crop else (480, 640))
     if args.dataset == "synthetic":
-        if args.crop:
-            raise SystemExit("--dataset synthetic trains the whole-image "
-                             "network; SYN_CROP mode needs the file-based "
-                             "dataset (or train at --image-size 224 224)")
         from ..data.synthetic_jax import SyntheticDeviceLoader
 
+        # --crop trains the stage-2 crop network on crop-like scenes
+        # (zoomed-in framing, 1-4 objects, 224x224 - the statistics of
+        # SYN_CROP / crop_rois RoIs)
         loader = SyntheticDeviceLoader(
             args.batch, height=image_hw[0], width=image_hw[1],
-            max_gt=cfg.loss.max_gt_instances, image_set="train", seed=0)
+            max_gt=cfg.loss.max_gt_instances, image_set="train", seed=0,
+            crop_like=args.crop)
     else:
         if not args.root:
             raise SystemExit("--root is required for the file-based dataset")
@@ -136,7 +145,7 @@ def main(argv=None):
             vload = SyntheticDeviceLoader(
                 1, height=image_hw[0], width=image_hw[1],
                 max_gt=cfg.loss.max_gt_instances, image_set="test", seed=0,
-                augment=False)
+                augment=False, crop_like=args.crop)
             val = []
             for i in range(args.eval_samples):
                 vb = jax.device_get(vload.batch_at(i))

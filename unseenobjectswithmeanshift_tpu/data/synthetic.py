@@ -70,7 +70,8 @@ def _rot_about(u, ang):
 
 
 def sample_scene_params(rng, intr, max_objects=9, min_objects=3,
-                        height=480, width=640) -> Dict[str, np.ndarray]:
+                        height=480, width=640,
+                        dist_range=(1.0, 1.4)) -> Dict[str, np.ndarray]:
     """Sample one scene as packed fixed-shape float32 arrays.
 
     Returns a dict with:
@@ -85,7 +86,9 @@ def sample_scene_params(rng, intr, max_objects=9, min_objects=3,
     """
     M = max_objects
     pitch = rng.uniform(np.radians(30), np.radians(55))
-    dist = rng.uniform(1.0, 1.4)
+    dist = rng.uniform(*dist_range)   # (0.35, 0.7) emulates the zoomed-in
+    # framing of stage-2 RoI crops (ref: crop_rois resizes a +25%-padded
+    # tight box to 224^2, test_dataset.py:62-112)
     n = np.array([0.0, -np.cos(pitch), -np.sin(pitch)], np.float32)
     roll = rng.uniform(-0.12, 0.12)
     n = _rot_about(np.array([0, 0, 1], np.float32), roll) @ n

@@ -367,12 +367,15 @@ class SyntheticDeviceLoader:
 
     def __init__(self, batch_size: int, height=480, width=640, max_gt=24,
                  max_objects=9, min_objects=3, image_set="train", seed=0,
-                 augment=True):
+                 augment=True, crop_like=False):
         self.B = batch_size
         self.H, self.W = height, width
         self.max_gt = max_gt
-        self.max_objects = max_objects
-        self.min_objects = min_objects
+        # crop_like: zoomed-in framing + few objects, the statistics of
+        # stage-2 RoI crops (for training the crop network file-free)
+        self.max_objects = 4 if crop_like else max_objects
+        self.min_objects = 1 if crop_like else min_objects
+        self.dist_range = (0.35, 0.7) if crop_like else (1.0, 1.4)
         self.augment = augment
         self.seed = seed
         self.split_salt = {"train": 0, "test": 1 << 20}[image_set]
@@ -385,7 +388,8 @@ class SyntheticDeviceLoader:
                 (self.seed * 1_000_003 + self.split_salt + int(i))
                 % (2 ** 31 - 1)),
             self.intr, max_objects=self.max_objects,
-            min_objects=self.min_objects, height=self.H, width=self.W)
+            min_objects=self.min_objects, height=self.H, width=self.W,
+            dist_range=self.dist_range)
             for i in indices]
         return stack_scene_params(ps)
 

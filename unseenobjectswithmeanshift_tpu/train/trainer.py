@@ -217,7 +217,8 @@ class Trainer:
                        static_argnums=(3,))
 
 
-def pair_bucket(count: int, max_pairs: int, buckets=(16, 32, 48, 64)) -> int:
+def pair_bucket(count: int, max_pairs: int,
+                buckets=(16, 32, 48, 64, 96, 128, 192)) -> int:
     """Round a batch's true instance count up to a static pair-compaction
     bucket (each bucket compiles once). Returns max_pairs (= no compaction)
     when the count exceeds every bucket."""
