@@ -201,6 +201,25 @@ def test_embedding_loss_matches_torch_oracle(rng):
         assert abs(float(m) - r) < 1e-4, (float(m), r)
 
 
+def test_embedding_loss_grad_finite_with_empty_slots(rng):
+    """Regression: k_max > actual cluster count leaves empty slots whose
+    spherical means are exactly zero; norm-based normalization had a
+    0/0 = nan BACKWARD there, which silently vetoed every train step via the
+    trainer's finite-guard (round-4 synthetic run: 350 iters, zero parameter
+    movement). The rsqrt-form normalize must give finite grads."""
+    B, C, H, W = 2, 8, 12, 12
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    labels = rng.randint(0, 3, (B, H, W)).astype(np.int32)  # slots 3..5 empty
+
+    def f(xx):
+        loss, _, _ = embedding_loss(xx, jnp.asarray(labels), k_max=6)
+        return loss
+
+    g = jax.grad(f)(jnp.asarray(x))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
 def test_criterion_factored_matches_dense(rng):
     """Scoring with (mask_embed, mask_features) must match scoring the
     materialized pred_masks = mask_embed @ mask_features (linearity of

@@ -68,6 +68,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    # persistent compilation cache: train-step compiles take minutes over the
+    # dev tunnel; restarts/resumes (and the eval graphs) should not pay twice
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from ..config import get_config
     from ..data.datasets import TableTopObject

@@ -24,8 +24,16 @@ def compute_cluster_means(x, labels, k_max: int, normalize: bool = True):
     counts = onehot.sum((1, 2))[..., None]                              # [B,K,1]
     means = sums / (counts + 1e-10)
     if normalize:
-        n = jnp.linalg.norm(means, axis=-1, keepdims=True)
-        means = means / jnp.maximum(n, 1e-12)
+        # rsqrt-form normalize: empty cluster slots have means EXACTLY zero
+        # (the reference's F.normalize(0) = 0, reproduced here), but
+        # norm/maximum(norm, eps) has a 0/0 = nan BACKWARD at zero - with
+        # k_max slots and fewer objects, empty slots always exist, and one
+        # nan leaf made the trainer's finite-guard skip EVERY update (the
+        # round-4 synthetic run trained 350 iters with zero parameter
+        # movement before this was caught). rsqrt(sq + eps) is finite
+        # everywhere and maps 0 -> 0 like F.normalize.
+        sq = jnp.sum(jnp.square(means), axis=-1, keepdims=True)
+        means = means * jax.lax.rsqrt(sq + 1e-24)
     return means
 
 
