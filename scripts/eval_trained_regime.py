@@ -47,6 +47,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--image-size", type=int, nargs=2, default=(480, 640),
+                   help="eval resolution (480 640 = the bench operating "
+                        "point; smaller for CPU smoke tests)")
     p.add_argument("--n-batches", type=int, default=4,
                    help="distinct rendered scene batches for the quality "
                         "metrics (throughput uses the first batch)")
@@ -72,7 +75,7 @@ def main(argv=None):
     from unseenobjectswithmeanshift_tpu.utils.evaluation import (
         multilabel_metrics, aggregate_metrics, print_metrics)
 
-    B, H, W = args.batch, 480, 640
+    B, (H, W) = args.batch, args.image_size
     ITERS, DEPTH = args.iters, 2
 
     # ---- restore the trained weights ------------------------------------

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 from unseenobjectswithmeanshift_tpu.config import get_config
 from unseenobjectswithmeanshift_tpu.train.trainer import Trainer, pair_bucket
 
-B, H, W = 4, 480, 640
+B, H, W = (int(os.environ.get("PROF_B", 4)),
+           int(os.environ.get("PROF_H", 480)),
+           int(os.environ.get("PROF_W", 640)))  # env overrides: CPU smoke
 cfg = get_config("tabletop_pretrained")
 G = cfg.loss.max_gt_instances
 rng = np.random.RandomState(0)
@@ -64,28 +66,32 @@ for name, kw in [("no-compaction", {}), (f"pair_budget={pb}", {"pair_budget": pb
 
 # ---------------------------------------------------------------------------
 # breakdown (VERDICT r3 item 5): where does the step go? forward vs backward,
-# model vs criterion, backbone vs decoder - decides whether the fused
-# cross-attention kernel needs a custom_vjp or gets a measured rejection.
+# model vs criterion, backbone vs decoder, and the chunked masked attention in
+# isolation - decides whether the fused cross-attention kernel needs a
+# custom_vjp or gets a measured rejection.
+#
+# OOM notes (the first version of this block RESOURCE_EXHAUSTED'd): never hold
+# the full decoder outputs (7 aux levels of [B,Q,H,W] masks ~ 3.4 GB fp32) on
+# device while also compiling a grad graph; time the backward as
+# step - fwd - optimizer instead of jax.grad(full_loss) (the step's
+# value_and_grad is the known-fitting formulation).
 
 
 def timeit(fn, *a, iters=5, **k):
+    """Pipelined timing per the verify-skill recipe: enqueue all iters, sync
+    once on the last result (block_until_ready does not block over the dev
+    tunnel; np.asarray of a dependent scalar does)."""
     r = fn(*a, **k)
-    jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
-    best = 1e9
+    np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         r = fn(*a, **k)
-        jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+    np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+    return (time.perf_counter() - t0) / iters
 
 
+img, xyz = batch["image"], batch["xyz"]
 variables = {"params": state.params, "batch_stats": state.batch_stats}
-
-
-def model_fwd(v, img, xyz):
-    return trainer.model.apply(v, img, xyz, train=True,
-                               mutable=["batch_stats"])
 
 
 def full_loss(params, img, xyz):
@@ -98,19 +104,20 @@ def full_loss(params, img, xyz):
     return total
 
 
-def crit_only(out):
-    total, _ = trainer.criterion(jax.random.PRNGKey(0), out,
-                                 batch["gt_labels"], batch["gt_masks"],
-                                 batch["gt_valid"], pair_budget=pb)
-    return total
-
-
-img, xyz = batch["image"], batch["xyz"]
-t_fwd = timeit(jax.jit(model_fwd), variables, img, xyz)
-out0, _ = jax.jit(model_fwd)(variables, img, xyz)
-t_crit = timeit(jax.jit(crit_only), out0)
+# scalar-returning fwd: nothing large lives past the jit
 t_loss_fwd = timeit(jax.jit(full_loss), state.params, img, xyz)
-t_grad = timeit(jax.jit(jax.grad(full_loss)), state.params, img, xyz)
+t_step = timeit(lambda: step(state, batch, jax.random.PRNGKey(0), pb)[1]
+                ["total_loss"])
+
+# model fwd without the criterion (reduce outputs to a scalar in-graph)
+def model_fwd_scalar(params, img, xyz):
+    out, _ = trainer.model.apply(
+        {"params": params, "batch_stats": state.batch_stats},
+        img, xyz, train=True, mutable=["batch_stats"])
+    return sum(jnp.sum(l.astype(jnp.float32))
+               for l in jax.tree_util.tree_leaves(out))
+
+t_fwd = timeit(jax.jit(model_fwd_scalar), state.params, img, xyz)
 
 # backbone alone (fwd and grad-through)
 from unseenobjectswithmeanshift_tpu.models.segnet import SEGNET
@@ -118,21 +125,66 @@ from unseenobjectswithmeanshift_tpu.models.segnet import SEGNET
 bb = SEGNET(network="resnet34_8s", input_type="RGBD", fusion_type="add",
             dtype=jnp.bfloat16)
 vb = bb.init(jax.random.PRNGKey(0), img, xyz, train=False)
-t_bb = timeit(jax.jit(lambda v, a, b: bb.apply(v, a, b, train=False)),
-              vb, img, xyz)
+t_bb = timeit(jax.jit(lambda v, a, b: jnp.sum(
+    bb.apply(v, a, b, train=False).astype(jnp.float32))), vb, img, xyz)
 t_bb_g = timeit(jax.jit(jax.grad(
     lambda p, a, b: jnp.sum(bb.apply(
         {"params": p, "batch_stats": vb.get("batch_stats", {})},
         a, b, train=False).astype(jnp.float32)))), vb["params"], img, xyz)
 
+# the chunked masked hypersphere attention in ISOLATION at the exact
+# per-layer train shape: fwd and fwd+bwd. x6 layers = its share of the step.
+from unseenobjectswithmeanshift_tpu.ops.hypersphere_attention import (
+    MhaParams, chunked_masked_meanshift_attention, l2_normalize, split_heads)
+
+E, Hh, Q, K = 256, 8, 100, H * W
+r = jax.random.PRNGKey(1)
+ks = jax.random.split(r, 12)
+mk = lambda i, *s: (jax.random.normal(ks[i], s, jnp.bfloat16) * 0.05)
+mha = MhaParams(q_kernel=mk(0, E, E), k_kernel=mk(1, E, E),
+                v_kernel=mk(2, E, E), q_bias=mk(3, E), k_bias=mk(4, E),
+                v_bias=mk(5, E), out_kernel=mk(6, E, E), out_bias=mk(7, E))
+qx = mk(8, B, Q, E)
+kx = mk(9, B, K, E)
+ml = jax.random.normal(ks[10], (B, Q, K), jnp.float32)
+
+
+def attn_fwd(p, q, k, m):
+    return jnp.sum(chunked_masked_meanshift_attention(
+        p, q, k, k, Hh, m).astype(jnp.float32))
+
+
+t_attn = timeit(jax.jit(attn_fwd), mha, qx, kx, ml)
+t_attn_g = timeit(jax.jit(jax.grad(attn_fwd, argnums=(0, 1, 2))),
+                  mha, qx, kx, ml)
+
+# what the fused inference kernel does for the same work (fwd-only ceiling)
+from unseenobjectswithmeanshift_tpu.ops.pallas_attention import (
+    fused_masked_hypersphere_attention)
+
+if jax.devices()[0].platform != "cpu":
+    qn = l2_normalize(split_heads(
+        jnp.einsum("ble,ef->blf", qx, mha.q_kernel) + mha.q_bias, Hh))
+    pos = mk(11, K, E)
+    t_fused = timeit(jax.jit(lambda q, b, p: jnp.sum(
+        fused_masked_hypersphere_attention(
+            q, b, p, mha.k_kernel, mha.k_bias, mha.v_kernel, mha.v_bias,
+            ml).astype(jnp.float32))), qn, kx, pos)
+else:
+    t_fused = float("nan")
+
 print(f"\n# breakdown (B={B}, {H}x{W}, bf16, pair_budget={pb}):")
-print(f"#   model fwd (train=True)     : {t_fwd*1e3:7.1f} ms")
-print(f"#   criterion on fwd outputs   : {t_crit*1e3:7.1f} ms")
-print(f"#   loss fwd (model+criterion) : {t_loss_fwd*1e3:7.1f} ms")
-print(f"#   loss grad (fwd+bwd)        : {t_grad*1e3:7.1f} ms  "
-      f"(bwd ~= {(t_grad-t_loss_fwd)*1e3:.1f} ms)")
-print(f"#   backbone fwd alone         : {t_bb*1e3:7.1f} ms")
-print(f"#   backbone grad alone        : {t_bb_g*1e3:7.1f} ms")
-print(f"#   -> decoder+losses fwd ~= {(t_loss_fwd-t_bb)*1e3:.1f} ms, "
-      f"decoder+losses bwd ~= {(t_grad-t_loss_fwd-(t_bb_g-t_bb))*1e3:.1f} ms",
-      flush=True)
+print(f"#   train step (fwd+bwd+opt)    : {t_step*1e3:7.1f} ms")
+print(f"#   loss fwd (model+criterion)  : {t_loss_fwd*1e3:7.1f} ms   "
+      f"-> bwd+opt ~= {(t_step-t_loss_fwd)*1e3:.1f} ms")
+print(f"#   model fwd alone             : {t_fwd*1e3:7.1f} ms   "
+      f"-> criterion fwd ~= {(t_loss_fwd-t_fwd)*1e3:.1f} ms")
+print(f"#   backbone fwd alone          : {t_bb*1e3:7.1f} ms")
+print(f"#   backbone fwd+bwd alone      : {t_bb_g*1e3:7.1f} ms")
+print(f"#   chunked attn fwd (1 layer)  : {t_attn*1e3:7.1f} ms   "
+      f"x6 = {6*t_attn*1e3:.1f} ms")
+print(f"#   chunked attn fwd+bwd (1 l.) : {t_attn_g*1e3:7.1f} ms   "
+      f"x6 = {6*t_attn_g*1e3:.1f} ms "
+      f"({100*6*t_attn_g/t_step:.0f}% of the step)")
+print(f"#   fused kernel fwd (1 layer)  : {t_fused*1e3:7.1f} ms  "
+      f"(inference ceiling for the same contraction)", flush=True)
