@@ -158,6 +158,21 @@ t_attn = timeit(jax.jit(attn_fwd), mha, qx, kx, ml)
 t_attn_g = timeit(jax.jit(jax.grad(attn_fwd, argnums=(0, 1, 2))),
                   mha, qx, kx, ml)
 
+# the two-pass fixed-max reformulation (single accumulator, no rescale
+# chain in the differentiated graph) - the candidate replacement
+from unseenobjectswithmeanshift_tpu.ops.hypersphere_attention import (
+    chunked_masked_meanshift_attention_twopass)
+
+
+def attn2_fwd(p, q, k, m):
+    return jnp.sum(chunked_masked_meanshift_attention_twopass(
+        p, q, k, k, Hh, m).astype(jnp.float32))
+
+
+t_attn2 = timeit(jax.jit(attn2_fwd), mha, qx, kx, ml)
+t_attn2_g = timeit(jax.jit(jax.grad(attn2_fwd, argnums=(0, 1, 2))),
+                   mha, qx, kx, ml)
+
 # what the fused inference kernel does for the same work (fwd-only ceiling)
 from unseenobjectswithmeanshift_tpu.ops.pallas_attention import (
     fused_masked_hypersphere_attention)
@@ -186,5 +201,9 @@ print(f"#   chunked attn fwd (1 layer)  : {t_attn*1e3:7.1f} ms   "
 print(f"#   chunked attn fwd+bwd (1 l.) : {t_attn_g*1e3:7.1f} ms   "
       f"x6 = {6*t_attn_g*1e3:.1f} ms "
       f"({100*6*t_attn_g/t_step:.0f}% of the step)")
+print(f"#   two-pass attn fwd (1 layer) : {t_attn2*1e3:7.1f} ms")
+print(f"#   two-pass attn fwd+bwd (1 l.): {t_attn2_g*1e3:7.1f} ms   "
+      f"x6 = {6*t_attn2_g*1e3:.1f} ms "
+      f"(vs online {t_attn_g/max(t_attn2_g,1e-9):.2f}x)")
 print(f"#   fused kernel fwd (1 layer)  : {t_fused*1e3:7.1f} ms  "
       f"(inference ceiling for the same contraction)", flush=True)

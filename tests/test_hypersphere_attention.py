@@ -148,3 +148,43 @@ def test_chunked_masked_attention_matches_dense(rng):
     for a, b in zip(gc, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_twopass_matches_online_chunked(rng):
+    """Two-pass fixed-max chunked attention == online-softmax chunked
+    attention (values AND gradients w.r.t. q, k, v, and params), including
+    the all-masked-row guard and K padding."""
+    import jax
+    from unseenobjectswithmeanshift_tpu.ops.hypersphere_attention import (
+        MhaParams, chunked_masked_meanshift_attention,
+        chunked_masked_meanshift_attention_twopass,
+    )
+
+    B, Q, K, E, H = 2, 6, 700, 32, 4
+    p = MhaParams(*[jnp.asarray(rng.randn(*s).astype(np.float32) * 0.2)
+                    for s in [(E, E)] * 3 + [(E,)] * 3 + [(E, E), (E,)]])
+    p = p._replace(k_bias=jnp.zeros((E,)))
+    q = jnp.asarray(rng.randn(B, Q, E).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, K, E).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, K, E).astype(np.float32))
+    ml = jnp.asarray(rng.randn(B, Q, K).astype(np.float32))
+    ml = ml.at[0, 0].set(-1.0)          # fully-masked row -> guard path
+
+    a = chunked_masked_meanshift_attention(p, q, k, v, H, ml, chunk_size=256)
+    b = chunked_masked_meanshift_attention_twopass(p, q, k, v, H, ml,
+                                                   chunk_size=256)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(fn):
+        return lambda p_, q_, k_, v_: jnp.sum(
+            fn(p_, q_, k_, v_, H, ml, chunk_size=256) ** 2)
+
+    ga = jax.grad(loss(chunked_masked_meanshift_attention),
+                  argnums=(0, 1, 2, 3))(p, q, k, v)
+    gb = jax.grad(loss(chunked_masked_meanshift_attention_twopass),
+                  argnums=(0, 1, 2, 3))(p, q, k, v)
+    for ta, tb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(tb), np.asarray(ta),
+                                   rtol=1e-3, atol=1e-4)

@@ -226,3 +226,110 @@ def chunked_masked_meanshift_attention(params: MhaParams, query, key, value,
     out = (num / jnp.maximum(den, 1e-30)).astype(dt)
     out = merge_heads(l2_normalize(out))
     return proj(out, params.out_kernel, params.out_bias)
+
+
+def chunked_masked_meanshift_attention_twopass(
+        params: MhaParams, query, key, value, num_heads: int, mask_logits,
+        kappa: float = KAPPA, chunk_size: int = 8192,
+        precision=jax.lax.Precision.HIGHEST):
+    """Two-pass variant of the chunked TRAINING attention (same math).
+
+    The online-softmax version above carries SIX accumulators (masked and
+    unmasked num/den/max) and differentiates through the rescale chain, so
+    its backward recomputes the double accumulation per chunk. This variant
+    restructures for the backward pass:
+
+      * the all-masked-row guard (ref: transformer decoder's degenerate-mask
+        handling, meanshiftformer_transformer_decoder.py:970) is resolved
+        UP FRONT from the detached mask_logits - each row then has ONE
+        effective mask, so the scan carries a single num/den pair and pays
+        one pv matmul per chunk instead of two;
+      * pass 1 computes the global row max under lax.stop_gradient (softmax
+        is shift-invariant: the max carries no gradient) with no v-side
+        work at all;
+      * pass 2 accumulates num = sum exp2(c(s-M)) v and den = sum exp2(...)
+        against the FIXED max - plain sums, no inter-chunk rescale, so the
+        checkpointed backward of each chunk is independent of the others.
+
+    den stays differentiable (its cotangent is the softmax normalization
+    term), making the gradient exact, not an approximation. Outputs match
+    chunked_masked_meanshift_attention to fp32 roundoff (tested in
+    tests/test_hypersphere_attention.py).
+    """
+    dt = query.dtype
+    B, Q, E = query.shape
+    K = key.shape[1]
+    H = num_heads
+    D = E // H
+    proj = lambda x, w, b: (
+        jnp.einsum("ble,ef->blf", x, w.astype(dt), precision=precision)
+        + b.astype(dt))
+    qn = l2_normalize(split_heads(proj(query, params.q_kernel, params.q_bias), H))
+
+    c = kappa * LOG2E
+    NEG = jnp.float32(-1e30)
+    nc = -(-K // chunk_size)
+    pad = nc * chunk_size - K
+    if pad:
+        key = jnp.pad(key, ((0, 0), (0, pad), (0, 0)))
+        value = jnp.pad(value, ((0, 0), (0, pad), (0, 0)))
+        mask_logits = jnp.pad(mask_logits, ((0, 0), (0, 0), (0, pad)),
+                              constant_values=-1.0)
+    Kp = K + pad
+    kx = key.reshape(B, nc, chunk_size, E).transpose(1, 0, 2, 3)
+    vx = value.reshape(B, nc, chunk_size, E).transpose(1, 0, 2, 3)
+    valid = (jnp.arange(Kp) < K) if pad else jnp.ones((Kp,), bool)
+    # guard resolved up front: rows with NO valid unmasked key attend to
+    # every valid key (exactly the online version's lm <= 0 selector)
+    ml = jax.lax.stop_gradient(mask_logits)
+    keep = (ml >= 0) & valid                                   # [B, Q, Kp]
+    guard = ~jnp.any(keep, axis=-1, keepdims=True)             # [B, Q, 1]
+    eff = jnp.where(guard, valid[None, None, :], keep)         # [B, Q, Kp]
+    effx = eff.reshape(B, Q, nc, chunk_size).transpose(2, 0, 1, 3)
+
+    def safe_normalize(x):
+        sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x.astype(jnp.float32) * jax.lax.rsqrt(sq + 1e-24)).astype(x.dtype)
+
+    def kh_of(k_c):
+        return safe_normalize(split_heads(proj(k_c, params.k_kernel,
+                                               params.k_bias), H))
+
+    # ---- pass 1: global effective-row max, no gradient, no v work
+    def max_body(m, xs):
+        k_c, e_c = xs
+        s = jnp.einsum("bhqd,bhkd->bhqk", qn, kh_of(k_c),
+                       precision=precision).astype(jnp.float32)
+        s = jnp.where(e_c[:, None], s, NEG)
+        return jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True)), None
+
+    m0 = jnp.full((B, H, Q, 1), NEG)
+    M, _ = jax.lax.scan(max_body, m0,
+                        (jax.lax.stop_gradient(kx), effx))
+    M = jax.lax.stop_gradient(M)
+
+    # ---- pass 2: plain sums against the fixed max (differentiable)
+    def body(carry, xs):
+        num, den = carry
+        k_c, v_c, e_c = xs
+        kh = kh_of(k_c)
+        vh = split_heads(proj(v_c, params.v_kernel, params.v_bias), H)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qn, kh,
+                       precision=precision).astype(jnp.float32)
+        # no min-clamp: s <= M holds bitwise for effective lanes (pass 1
+        # computes the identical einsum), and a minimum(x, 0) clamp would
+        # tie at the argmax lane where JAX splits the gradient 0.5/0.5 -
+        # the where-form keeps the softmax gradient exact
+        p = jnp.where(e_c[:, None], jnp.exp2(c * (s - M)), 0.0)
+        num = num + jnp.einsum("bhqk,bhkd->bhqd", p.astype(dt), vh,
+                               precision=precision).astype(jnp.float32)
+        den = den + jnp.sum(p, axis=-1, keepdims=True)
+        return (num, den), None
+
+    z = jnp.zeros((B, H, Q, D), jnp.float32)
+    zl = jnp.zeros((B, H, Q, 1), jnp.float32)
+    (num, den), _ = jax.lax.scan(jax.checkpoint(body), (z, zl),
+                                 (kx, vx, effx))
+    out = (num / jnp.maximum(den, 1e-30)).astype(dt)
+    out = merge_heads(l2_normalize(out))
+    return proj(out, params.out_kernel, params.out_bias)
