@@ -18,6 +18,7 @@ target (40 img/s/chip) is tracked as "vs_target" in the breakdown line.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -238,7 +239,12 @@ def main():
         from unseenobjectswithmeanshift_tpu.utils.checkpoint_io import (
             latest_checkpoint)
 
-        ckpt = latest_checkpoint("output/synth_r4")
+        # Prefer the COMMITTED release checkpoint (dict layout, optimizer
+        # state stripped - scripts/export_checkpoint.py); fall back to a raw
+        # training dir (TrainState layout) if one is present locally.
+        release = "checkpoints/msmformer_synthetic_r4"
+        ckpt = (release if os.path.isdir(release)
+                else latest_checkpoint("output/synth_r4"))
         crop_ckpt = latest_checkpoint("output/synth_r4_crop")
         if ckpt is not None:
             # real trained weights on rendered held-out scenes
@@ -248,10 +254,21 @@ def main():
             from unseenobjectswithmeanshift_tpu.utils import checkpoint_io
 
             def _load(path):
+                # device_put ONCE: orbax restores to HOST numpy; numpy leaves
+                # fed to a jit re-upload all ~200 MB of weights over the dev
+                # tunnel on EVERY call (measured 16.7 s/batch vs 0.24)
                 tr = Trainer(get_config("tabletop_pretrained"), dtype=dtype)
                 st = tr.init_state(jax.random.PRNGKey(0), (H, W), batch_size=1)
+                if path == release:  # dict layout {params, batch_stats, step}
+                    rel = checkpoint_io.restore(path, {
+                        "params": jax.device_get(st.params),
+                        "batch_stats": jax.device_get(st.batch_stats),
+                        "step": jax.device_get(st.step)})
+                    return jax.device_put({"params": rel["params"],
+                                           "batch_stats": rel["batch_stats"]})
                 st = checkpoint_io.restore(path, jax.device_get(st))
-                return {"params": st.params, "batch_stats": st.batch_stats}
+                return jax.device_put({"params": st.params,
+                                       "batch_stats": st.batch_stats})
 
             tv1 = _load(ckpt)
             tv2 = _load(crop_ckpt) if crop_ckpt else tv1

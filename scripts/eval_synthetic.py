@@ -62,7 +62,10 @@ def main(argv=None):
     if args.checkpoint:
         state = checkpoint_io.restore(args.checkpoint, jax.device_get(state))
         tag = args.checkpoint
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # device_put ONCE: orbax restores to host numpy; numpy leaves passed to a
+    # jit re-upload the full weights over the dev tunnel on every call
+    variables = jax.device_put({"params": state.params,
+                                "batch_stats": state.batch_stats})
 
     loader = SyntheticDeviceLoader(args.batch, height=H, width=W,
                                    max_gt=cfg.loss.max_gt_instances,

@@ -35,16 +35,19 @@ V5E_BF16_PEAK = 197e12
 H, W = 480, 640
 
 
-def timed(fn, *args, iters=5):
-    r = fn(*args)
-    jax.block_until_ready(r)
-    best = 1e9
+def timed(fn, *args, iters=20):
+    """Validated tunnel-safe timing (see .claude/skills/verify): enqueue all
+    iterations, fence once through a scalar that DEPENDS on the result —
+    block_until_ready does not reliably block over the axon dev tunnel."""
+    chk = jax.jit(lambda r: jnp.sum(jax.tree_util.tree_leaves(r)[0][..., 0]
+                                    .astype(jnp.float32)))
+    np.asarray(chk(fn(*args)))  # compile + warm
+    t0 = time.perf_counter()
+    r = None
     for _ in range(iters):
-        t0 = time.perf_counter()
         r = fn(*args)
-        jax.block_until_ready(r)
-        best = min(best, time.perf_counter() - t0)
-    return best
+    np.asarray(chk(r))
+    return (time.perf_counter() - t0) / iters
 
 
 def cost_flops(jitted, *args):

@@ -90,9 +90,11 @@ def main(argv=None):
         pred = TwoStagePredictor(cfg, cfg_crop, dtype=jnp.bfloat16)
         convert = convert_msmformer_checkpoint
     if args.checkpoint:
-        v1 = convert(load_torch_state_dict(args.checkpoint))
-        v2 = convert(load_torch_state_dict(
-            args.checkpoint_crop or args.checkpoint))
+        # device_put once: converters return host numpy; numpy leaves fed to
+        # a jit re-upload all weights on every frame
+        v1 = jax.device_put(convert(load_torch_state_dict(args.checkpoint)))
+        v2 = jax.device_put(convert(load_torch_state_dict(
+            args.checkpoint_crop or args.checkpoint)))
     else:
         v1, v2 = pred.init(jax.random.PRNGKey(0), (480, 640))
 

@@ -99,9 +99,12 @@ def main(argv=None):
         dtype = jnp.bfloat16 if args.bf16 else jnp.float32
         pred = UCNPredictor(cfg, cfg_crop, dtype=dtype)
         if args.checkpoint:
-            v1 = convert_ucn_checkpoint(load_torch_state_dict(args.checkpoint))
-            v2 = convert_ucn_checkpoint(load_torch_state_dict(
-                args.checkpoint_crop or args.checkpoint))
+            # device_put once: converters return host numpy; numpy leaves fed
+            # to a jit re-upload all weights on every call
+            v1 = jax.device_put(convert_ucn_checkpoint(
+                load_torch_state_dict(args.checkpoint)))
+            v2 = jax.device_put(convert_ucn_checkpoint(load_torch_state_dict(
+                args.checkpoint_crop or args.checkpoint)))
         else:
             print("WARNING: random weights")
             v1, v2 = pred.init(jax.random.PRNGKey(0), (480, 640))

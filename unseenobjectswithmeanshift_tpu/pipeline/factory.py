@@ -95,9 +95,13 @@ def build_two_stage_predictor(
 
     pred = TwoStagePredictor(cfg, cfg_crop, dtype=dtype)
     if checkpoint:
-        v1 = convert_checkpoint_for(cfg, load_torch_state_dict(checkpoint))
-        v2 = convert_checkpoint_for(
-            cfg_crop, load_torch_state_dict(checkpoint_crop or checkpoint))
+        # device_put ONCE: converters return HOST numpy trees, and numpy
+        # leaves fed to a jit re-upload the full weights over the device link
+        # on EVERY call (measured 16.7 s/batch vs 0.24 on the dev tunnel)
+        v1 = jax.device_put(
+            convert_checkpoint_for(cfg, load_torch_state_dict(checkpoint)))
+        v2 = jax.device_put(convert_checkpoint_for(
+            cfg_crop, load_torch_state_dict(checkpoint_crop or checkpoint)))
     else:
         v1, v2 = pred.init(jax.random.PRNGKey(rng_seed), image_shape,
                            crop_size=cfg.test.crop_size)
