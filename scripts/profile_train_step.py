@@ -12,6 +12,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from unseenobjectswithmeanshift_tpu.config import get_config
@@ -62,6 +66,9 @@ for name, kw in [("no-compaction", {}), (f"pair_budget={pb}", {"pair_budget": pb
     jax.block_until_ready(m2["total_loss"])
     dt = (time.perf_counter() - t0) / N
     print(f"{name}: {dt * 1e3:.0f} ms/step", flush=True)
+
+if os.environ.get("PROF_STEP_ONLY"):   # quick re-measure after a train-path change
+    sys.exit(0)
 
 
 # ---------------------------------------------------------------------------
@@ -181,10 +188,12 @@ if jax.devices()[0].platform != "cpu":
     qn = l2_normalize(split_heads(
         jnp.einsum("ble,ef->blf", qx, mha.q_kernel) + mha.q_bias, Hh))
     pos = mk(11, K, E)
-    t_fused = timeit(jax.jit(lambda q, b, p: jnp.sum(
+    # ml passed as an ARGUMENT: closed-over it is a 491 MB HLO literal that
+    # the remote compile endpoint rejects (HTTP 413)
+    t_fused = timeit(jax.jit(lambda q, b, p, m: jnp.sum(
         fused_masked_hypersphere_attention(
             q, b, p, mha.k_kernel, mha.k_bias, mha.v_kernel, mha.v_bias,
-            ml).astype(jnp.float32))), qn, kx, pos)
+            m).astype(jnp.float32))), qn, kx, pos, ml)
 else:
     t_fused = float("nan")
 

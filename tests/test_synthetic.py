@@ -110,6 +110,29 @@ def test_instances_match_host_loader():
     assert np.array_equal(np.asarray(b["label_image"][0]), rh)
 
 
+def test_crop_like_scene_statistics():
+    """crop_like mode renders zoomed-in few-object scenes (the stage-2 RoI
+    statistics used by `train_msmformer --crop`, ref SYN_CROP:
+    tabletop_train_net.py crop recipe): every scene 1-4 instances, objects
+    fill a much larger pixel fraction than whole-image framing."""
+    crop = SyntheticDeviceLoader(batch_size=4, height=112, width=112,
+                                 max_gt=12, seed=5, crop_like=True,
+                                 augment=False)
+    full = SyntheticDeviceLoader(batch_size=4, height=112, width=112,
+                                 max_gt=12, seed=5, crop_like=False,
+                                 augment=False)
+    bc, bf = crop.batch_at(0), full.batch_at(0)
+    vc = np.asarray(bc["gt_valid"]).sum(1)
+    assert ((1 <= vc) & (vc <= 4)).all()
+    # object pixel coverage: zoomed-in crops are mostly object
+    cov_c = np.asarray(bc["gt_masks"]).sum((1, 2, 3)).mean() / (112 * 112)
+    cov_f = np.asarray(bf["gt_masks"]).sum((1, 2, 3)).mean() / (112 * 112)
+    assert cov_c > 1.5 * cov_f
+    # same contract as the whole-image loader (Trainer consumes unchanged)
+    assert bc["image"].shape == (4, 112, 112, 3)
+    assert bc["gt_masks"].shape == (4, 12, 112, 112)
+
+
 def test_augment_statistics():
     key = jax.random.PRNGKey(0)
     depth = jnp.full((H, W), 1.2, jnp.float32)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.hypersphere_attention import (
-    MhaParams, meanshift_attention, chunked_masked_meanshift_attention,
+    MhaParams, meanshift_attention, chunked_masked_meanshift_attention_twopass,
     bool_mask_to_bias, l2_normalize, split_heads, merge_heads,
 )
 
@@ -169,8 +169,14 @@ class MultiheadAttention(nn.Module):
                 # large-K masked cross-attention without the Pallas kernel
                 # (training, or CPU eval at full resolution): the dense path's
                 # [B, H, Q, K] weights would exceed HBM - use the chunked
-                # online-softmax formulation (fwd+bwd memory O(chunk))
-                return chunked_masked_meanshift_attention(
+                # two-pass fixed-max formulation (fwd+bwd memory O(chunk)).
+                # Chosen over the online-softmax variant by an on-chip A/B
+                # (scripts/profile_train_step.py: 54.4 vs 98.0 ms/layer
+                # fwd+bwd, 1.80x) - same math, exact forward AND gradient
+                # (tests/test_hypersphere_attention.py); its single fixed row
+                # max keeps den >= 1, so the random-init overflow that rules
+                # out the naive fixed-max trick cannot occur here.
+                return chunked_masked_meanshift_attention_twopass(
                     p, query, key, value, self.num_heads,
                     mask_logits.reshape(query.shape[0], query.shape[1], -1),
                     kappa=self.kappa, precision=prec)
