@@ -2,10 +2,13 @@
 images/sec on one TPU chip.
 
 Runs the fused two-stage pipeline (stage-1 whole-image + batched stage-2 RoI
-refinement, one jit graph, bf16) on random weights. Prints a stage breakdown,
-an on-device Pallas-kernel-vs-reference check, and the crop-slot occupancy
-(random weights are the conservative case only when slots fill; the occupancy
-line makes the measured regime explicit), then ONE JSON line (last).
+refinement, one jit graph, bf16) on random weights, then re-measures with the
+committed TRAINED checkpoint on rendered held-out scenes. Round 4's occupancy
+data showed the random-weight regime is the FAVORABLE one (trained models
+produce MORE crops: 7.4 vs 5.9 of 20 slots), so the trained-regime number is
+the better predictor of OCID-parity throughput; both are printed with
+vs_target, and the headline JSON (last line) carries the random-weight number
+for cross-round comparability plus the trained number as "trained_value".
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md section 6),
 so the baseline is the DERIVED throughput of an H100 running the reference's
@@ -28,6 +31,10 @@ import numpy as np
 H100_REFERENCE_IMG_PER_SEC = 8.0   # derived in BASELINE.md, round 2
 TARGET_MULTIPLIER = 5.0
 TARGET = H100_REFERENCE_IMG_PER_SEC * TARGET_MULTIPLIER
+
+# ADVICE r4: resolve committed-checkpoint paths relative to the repo root so
+# bench works from any cwd (was silently skipping the release checkpoint)
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 # Outage resilience (VERDICT r2 item 1): BENCH_r02 was voided because the dev
 # tunnel was down and bench.py crashed at backend init. Probe the backend in
@@ -193,6 +200,7 @@ def main():
           f"of {B * T} slots (bucketed compaction)")
 
     img_per_sec = B / dt_full
+    trained_img_per_sec = None
 
     # ---- informational: the trained-model regime with the EXACT tile-skip
     # opt-in (decoder.tile_skip; bit-identical by contract,
@@ -242,10 +250,19 @@ def main():
         # Prefer the COMMITTED release checkpoint (dict layout, optimizer
         # state stripped - scripts/export_checkpoint.py); fall back to a raw
         # training dir (TrainState layout) if one is present locally.
-        release = "checkpoints/msmformer_synthetic_r4"
-        ckpt = (release if os.path.isdir(release)
-                else latest_checkpoint("output/synth_r4"))
-        crop_ckpt = latest_checkpoint("output/synth_r4_crop")
+        # newest committed release first; fall back to raw training dirs
+        releases = [os.path.join(_REPO, "checkpoints", r)
+                    for r in ("msmformer_synthetic_r5",
+                              "msmformer_synthetic_r4")]
+        release_found = next((r for r in releases if os.path.isdir(r)), None)
+        ckpt = release_found or latest_checkpoint(
+            os.path.join(_REPO, "output/synth_r4"))
+        crop_releases = [os.path.join(_REPO, "checkpoints",
+                                      "msmformer_synthetic_r5_crop")]
+        crop_release = next((r for r in crop_releases if os.path.isdir(r)),
+                            None)
+        crop_ckpt = crop_release or latest_checkpoint(
+            os.path.join(_REPO, "output/synth_r5_crop"))
         if ckpt is not None:
             # real trained weights on rendered held-out scenes
             from unseenobjectswithmeanshift_tpu.data.synthetic_jax import (
@@ -259,7 +276,8 @@ def main():
                 # tunnel on EVERY call (measured 16.7 s/batch vs 0.24)
                 tr = Trainer(get_config("tabletop_pretrained"), dtype=dtype)
                 st = tr.init_state(jax.random.PRNGKey(0), (H, W), batch_size=1)
-                if path == release:  # dict layout {params, batch_stats, step}
+                if path.startswith(os.path.join(_REPO, "checkpoints")):
+                    # release layout: dict {params, batch_stats, step}
                     rel = checkpoint_io.restore(path, {
                         "params": jax.device_get(st.params),
                         "batch_stats": jax.device_get(st.batch_stats),
@@ -312,11 +330,16 @@ def main():
             occ = [len([v for v in np.unique(lab_tr[i]) if v >= 2])
                    for i in range(B)]
             agree1 = float(np.mean(lab_tr == lab_ts))
-            print(f"# TRAINED-CHECKPOINT (non-headline, synthetic-scene "
-                  f"weights {ckpt}, rendered held-out scenes): "
+            trained_img_per_sec = B / dt_tr
+            print(f"# TRAINED-CHECKPOINT regime (synthetic-scene weights "
+                  f"{ckpt}, crop {crop_ckpt or 'REUSES whole-image weights'}, "
+                  f"rendered held-out scenes). Round 4 showed trained models "
+                  f"fill MORE crop slots than random weights, so this is the "
+                  f"better predictor of OCID-parity throughput: "
                   + json.dumps({
                       "metric": "trained_ckpt_two_stage_images_per_sec",
                       "dense": round(B / dt_tr, 2),
+                      "vs_target": round(trained_img_per_sec / TARGET, 4),
                       "tile_skip": round(B / dt_ts, 2),
                       "tile_skip_speedup": round(dt_tr / dt_ts, 3),
                       "s1_label_agreement": round(agree1, 4),
@@ -350,16 +373,25 @@ def main():
               f"{type(e).__name__}: {str(e)[:200]}")
 
     print(f"# vs_target (5x stretch, {TARGET:.0f} img/s): "
-          f"{img_per_sec / TARGET:.4f}")
+          f"random-weight {img_per_sec / TARGET:.4f}"
+          + (f", trained-regime {trained_img_per_sec / TARGET:.4f}"
+             if trained_img_per_sec else " (trained regime unavailable)"))
     print("# accuracy parity (87.3 OCID F-measure) remains BLOCKED on the "
           "published checkpoints + real OCID/OSD datasets (no egress); this "
           "is a throughput number only - see README 'Accuracy-parity status'")
-    print(json.dumps({
+    record = {
         "metric": "ocid_640x480_rgbd_two_stage_images_per_sec_per_chip",
         "value": round(img_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / H100_REFERENCE_IMG_PER_SEC, 4),
-    }))
+    }
+    if trained_img_per_sec:
+        # the trained-checkpoint dense number on held-out rendered scenes -
+        # the honest regime (higher crop occupancy than random weights)
+        record["trained_value"] = round(trained_img_per_sec, 3)
+        record["trained_vs_baseline"] = round(
+            trained_img_per_sec / H100_REFERENCE_IMG_PER_SEC, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -60,6 +60,11 @@ def main(argv=None):
                         "(cli/train_msmformer --crop); defaults to the "
                         "whole-image weights (fully-convolutional, so they "
                         "run at 224^2 crops)")
+    p.add_argument("--scene-style", default="r4", choices=["r4", "ocid"],
+                   help="held-out scene statistics: 'ocid' = denser clutter "
+                        "(up to ~14 instances, touching/stacking, concave "
+                        "composites) - the regime where the bucketed stage-2 "
+                        "and the throughput target are really tested")
     args = p.parse_args(argv)
 
     import jax
@@ -98,7 +103,8 @@ def main(argv=None):
 
     # ---- held-out rendered scenes (never trained on: 'test' stream) -----
     loader = SyntheticDeviceLoader(B, height=H, width=W, max_gt=24,
-                                   image_set="test", seed=3, augment=False)
+                                   image_set="test", seed=3, augment=False,
+                                   scene_style=args.scene_style)
     batches = []
     for i in range(args.n_batches):
         b = loader.batch_at(i)

@@ -77,6 +77,24 @@ def main():
               f"{fl/1e9:7.1f} GF  {tfs:6.1f} TF/s  "
               f"MFU {100*tfs*1e12/V5E_BF16_PEAK:5.1f}% of bf16 peak")
 
+        # REAL-model grouped A/B: same weights, one feature_group_count=2
+        # stack (exactness pinned by tests/test_grouped_towers.py)
+        from unseenobjectswithmeanshift_tpu.utils.checkpoint import (
+            fuse_grouped_towers)
+
+        gmodel = SEGNET(network="resnet34_8s", input_type="RGBD",
+                        fusion_type="add", grouped_towers=True,
+                        dtype=jnp.bfloat16)
+        gvars = jax.device_put(fuse_grouped_towers(jax.device_get(variables)))
+        gfwd = jax.jit(lambda v, a, b: gmodel.apply(v, a, b, train=False))
+        dt_gr = timed(gfwd, gvars, img, xyz)
+        fl_gr = cost_flops(gfwd, gvars, img, xyz)
+        tfs_gr = fl_gr / dt_gr / 1e12
+        print(f"# B={B} grouped backbone:   {dt_gr*1e3:7.2f} ms  "
+              f"{fl_gr/1e9:7.1f} GF  {tfs_gr:6.1f} TF/s  "
+              f"MFU {100*tfs_gr*1e12/V5E_BF16_PEAK:5.1f}%  -> "
+              f"{dt/dt_gr:4.2f}x vs two-tower", flush=True)
+
         # lever A/B: one grouped tower (groups=2) over stacked channels.
         # Same FLOPs, double contraction width per conv.
         from jax import lax

@@ -159,3 +159,80 @@ def test_hls_roundtrip():
     h, l, s = _rgb_to_hls(rgb)
     back = _hls_to_rgb(h, l, s)
     assert np.abs(np.asarray(back) - np.asarray(rgb)).max() < 1e-4
+
+
+def test_ocid_style_scene_statistics():
+    """scene_style='ocid' (VERDICT r4 item 6): denser clutter - more
+    instances, touching/stacked objects, concave composites spanning several
+    primitive slots with one instance id - pushed toward OCID statistics
+    (up to 20 instances there, ref: lib/datasets/get_max_num_object.py)."""
+    kw = dict(max_objects=14, min_objects=5, height=H, width=W,
+              max_slots=20, p_stack=0.3, p_composite=0.25, touching=True)
+    counts, multi_slot, elevated = [], 0, 0
+    for i in range(30):
+        p = sample_scene_params(np.random.RandomState(i), INTR, **kw)
+        ids = p["ids"][p["kinds"] != KIND_NONE]
+        k = len(np.unique(ids))
+        counts.append(k)
+        if len(ids) > k:
+            multi_slot += 1          # at least one composite
+        # stacked objects have feet above the plane: signed distance of the
+        # lowest primitive point along n
+        n, p0 = p["plane_n"], p["plane_p0"]
+        for s in np.nonzero(p["kinds"] != KIND_NONE)[0]:
+            h = float((p["centers"][s] - p0) @ n)
+            if h > 0.22:             # well above any single object's height
+                elevated += 1
+    assert np.mean(counts) >= 6.5, np.mean(counts)
+    assert max(counts) >= 10
+    assert multi_slot >= 5           # composites actually occur
+    assert elevated >= 3             # stacking actually occurs
+
+
+def test_ocid_style_renderer_matches_oracle():
+    """The JAX renderer consumes the new ids/composites identically to the
+    numpy oracle."""
+    kw = dict(max_objects=12, min_objects=6, height=H, width=W,
+              max_slots=18, p_stack=0.35, p_composite=0.3, touching=True)
+    ps = [sample_scene_params(np.random.RandomState(100 + i), INTR, **kw)
+          for i in range(3)]
+    rgb_j, dep_j, lab_j = render_scene_batch(
+        stack_scene_params(ps), H, W, *IARGS)
+    for i in range(3):
+        _, dep_n, lab_n = render_scene_numpy(ps[i], H, W, INTR)
+        assert np.mean(np.asarray(lab_j[i]) != lab_n) < 2e-3
+        both = (lab_n == np.asarray(lab_j[i]))
+        assert np.abs(np.asarray(dep_j[i]) - dep_n)[both].max() < 1e-3
+
+
+def test_r4_streams_bit_identical():
+    """The default knobs reproduce the round-4 scene stream draw-for-draw
+    (the committed checkpoint's held-out eval must not shift)."""
+    p = sample_scene_params(np.random.RandomState(42), INTR,
+                            height=H, width=W)
+    q = sample_scene_params(np.random.RandomState(42), INTR,
+                            height=H, width=W, p_stack=0.0,
+                            p_composite=0.0, touching=False)
+    for k in p:
+        np.testing.assert_array_equal(p[k], q[k])
+    # slots are ids 1..placed in order (the legacy labeling contract)
+    live = p["kinds"] != KIND_NONE
+    assert np.array_equal(p["ids"][live],
+                          np.arange(1, int(live.sum()) + 1))
+
+
+def test_ocid_loader_contract():
+    """SyntheticDeviceLoader(scene_style='ocid') keeps the Trainer batch
+    contract (composite ids stay within max_gt; masks/label consistent)."""
+    loader = SyntheticDeviceLoader(batch_size=2, height=H, width=W,
+                                   max_gt=16, seed=9, scene_style="ocid",
+                                   augment=False)
+    b = loader.batch_at(0)
+    v = np.asarray(b["gt_valid"])
+    assert v.sum(1).min() >= 5
+    m = np.asarray(b["gt_masks"])
+    assert (m.sum(1) <= 1.0 + 1e-6).all()
+    li = np.asarray(b["label_image"])
+    for bb in range(2):
+        for g in np.nonzero(v[bb])[0]:
+            assert np.array_equal(li[bb] == g + 1, m[bb, g] > 0.5)

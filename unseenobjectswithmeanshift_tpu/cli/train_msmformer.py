@@ -32,6 +32,11 @@ def main(argv=None):
                         "rendered ON DEVICE (data/synthetic_jax.py) - no "
                         "files needed; the learning-capability path when the "
                         "real TOD data is unavailable")
+    p.add_argument("--scene-style", default="r4", choices=["r4", "ocid"],
+                   help="synthetic scene statistics: 'ocid' = denser clutter "
+                        "(up to ~14 instances, touching/stacked objects, "
+                        "concave composites - pushed toward OCID's 20-object "
+                        "scenes); 'r4' keeps the round-4 streams")
     p.add_argument("--iters", type=int, default=71000)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--crop", action="store_true")
@@ -99,7 +104,7 @@ def main(argv=None):
         loader = SyntheticDeviceLoader(
             args.batch, height=image_hw[0], width=image_hw[1],
             max_gt=cfg.loss.max_gt_instances, image_set="train", seed=0,
-            crop_like=args.crop)
+            crop_like=args.crop, scene_style=args.scene_style)
     else:
         if not args.root:
             raise SystemExit("--root is required for the file-based dataset")
@@ -151,7 +156,8 @@ def main(argv=None):
             vload = SyntheticDeviceLoader(
                 1, height=image_hw[0], width=image_hw[1],
                 max_gt=cfg.loss.max_gt_instances, image_set="test", seed=0,
-                augment=False, crop_like=args.crop)
+                augment=False, crop_like=args.crop,
+                scene_style=args.scene_style)
             val = []
             for i in range(args.eval_samples):
                 vb = jax.device_get(vload.batch_at(i))

@@ -9,6 +9,10 @@ Usage:
   python -m unseenobjectswithmeanshift_tpu.cli.train_net \
       --root /path/to/tabletop --epochs 16 --batch 16 \
       [--crop] [--input RGBD|COLOR|DEPTH] [--fusion add|cat|early] [--sampling]
+
+  # file-free: procedurally generated tabletop scenes rendered on device
+  python -m unseenobjectswithmeanshift_tpu.cli.train_net \
+      --dataset synthetic --epochs 4 --iters-per-epoch 500 --batch 16
 """
 
 from __future__ import annotations
@@ -22,7 +26,20 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--root", required=True)
+    p.add_argument("--root", default=None,
+                   help="TOD dataset root; not needed with --dataset synthetic")
+    p.add_argument("--dataset", default="tabletop_object",
+                   choices=["tabletop_object", "synthetic"],
+                   help="'synthetic': procedurally generated tabletop scenes "
+                        "rendered ON DEVICE (data/synthetic_jax.py), the "
+                        "file-free learning-capability path - same hookup "
+                        "train_msmformer has (ref: tools/train_net.py:77-160 "
+                        "reads TOD from disk only)")
+    p.add_argument("--iters-per-epoch", type=int, default=1000,
+                   help="epoch length for the endless synthetic stream "
+                        "(ignored for the file-based dataset)")
+    p.add_argument("--scene-style", default="r4", choices=["r4", "ocid"],
+                   help="synthetic scene statistics (see train_msmformer)")
     p.add_argument("--epochs", type=int, default=16)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-5)
@@ -63,10 +80,26 @@ def main(argv=None):
     cfg.backbone.fusion_type = args.fusion
     cfg.use_depth = args.input in ("RGBD", "DEPTH")
 
-    dataset = TableTopObject(args.root, "train", input_type=args.input,
-                             syn_crop=args.crop, sampling=args.sampling, seed=0)
-    loader = BatchLoader(dataset, args.batch, max_gt=cfg.loss.max_gt_instances)
     image_hw = (224, 224) if args.crop else (480, 640)
+    if args.dataset == "synthetic":
+        from ..data.synthetic_jax import SyntheticDeviceLoader
+
+        # --crop trains the 224^2 crop embedding net on zoomed-in scenes
+        # (the statistics of SYN_CROP RoIs, ref: tabletop_object.py:175-237)
+        loader = SyntheticDeviceLoader(
+            args.batch, height=image_hw[0], width=image_hw[1],
+            max_gt=cfg.loss.max_gt_instances, image_set="train", seed=0,
+            crop_like=args.crop, scene_style=args.scene_style)
+        steps_per_epoch = args.iters_per_epoch
+    else:
+        if not args.root:
+            raise SystemExit("--root is required for the file-based dataset")
+        dataset = TableTopObject(args.root, "train", input_type=args.input,
+                                 syn_crop=args.crop, sampling=args.sampling,
+                                 seed=0)
+        loader = BatchLoader(dataset, args.batch,
+                             max_gt=cfg.loss.max_gt_instances)
+        steps_per_epoch = len(dataset) // args.batch
 
     model = build_segnet(cfg)
     img0 = jnp.zeros((1, *image_hw, 3))
@@ -84,7 +117,6 @@ def main(argv=None):
     # The optimizer's step count restarts at 0 on resume, so shift the epoch
     # milestones by --start-epoch: already-passed milestones fold into the
     # initial lr, future ones fire at the right absolute epoch.
-    steps_per_epoch = len(dataset) // args.batch
     init_lr = args.lr * (args.gamma ** sum(
         1 for m in args.lr_milestones if m <= args.start_epoch))
     boundaries = {(m - args.start_epoch) * steps_per_epoch: args.gamma
@@ -137,9 +169,14 @@ def main(argv=None):
         params = replicate(mesh, params)
         batch_stats = replicate(mesh, batch_stats)
         opt_state = replicate(mesh, opt_state)
+        if args.dataset == "synthetic":
+            # deterministic resume of the scene stream
+            loader.step = args.start_epoch * steps_per_epoch
         for epoch in range(args.start_epoch, args.epochs):
             t0 = time.perf_counter()
             for i, batch in enumerate(loader):
+                if i >= steps_per_epoch:
+                    break
                 batch = shard_batch(mesh, batch)
                 params, batch_stats, opt_state, (loss, intra, inter) = step_fn(
                     params, batch_stats, opt_state, batch)
@@ -148,7 +185,7 @@ def main(argv=None):
                     print(f"epoch {epoch + 1}/{args.epochs} iter {i + 1} "
                           f"loss {float(loss):.4f} intra {float(intra):.4f} "
                           f"inter {float(inter):.4f} ({dt:.2f}s/it)", flush=True)
-                    mlog.log_train(epoch * len(loader) + i + 1,
+                    mlog.log_train(epoch * steps_per_epoch + i + 1,
                                    {"loss": float(loss),
                                     "loss_intra": float(intra),
                                     "loss_inter": float(inter),

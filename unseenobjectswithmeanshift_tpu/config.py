@@ -46,6 +46,10 @@ class BackboneConfig:
     num_units: int = 64               # embedding dim (cfg.TRAIN.NUM_UNITS)
     normalize: bool = True            # L2-normalize output (SEG.py:112-114)
     output_stride: int = 8
+    # run the two RGBD towers as ONE feature_group_count=2 conv stack
+    # (numerically identical, doubles every conv's contraction width; see
+    # models/segnet.SEGNET.grouped_towers + utils/checkpoint.fuse_tower_params)
+    grouped_towers: bool = False
 
 
 @dataclass

@@ -71,7 +71,9 @@ def _rot_about(u, ang):
 
 def sample_scene_params(rng, intr, max_objects=9, min_objects=3,
                         height=480, width=640,
-                        dist_range=(1.0, 1.4)) -> Dict[str, np.ndarray]:
+                        dist_range=(1.0, 1.4), max_slots=None,
+                        p_stack=0.0, p_composite=0.0,
+                        touching=False) -> Dict[str, np.ndarray]:
     """Sample one scene as packed fixed-shape float32 arrays.
 
     Returns a dict with:
@@ -80,11 +82,26 @@ def sample_scene_params(rng, intr, max_objects=9, min_objects=3,
       rots [M,3,3] (box->camera; identity otherwise),
       axes [M,3] (cylinder axis = plane normal),
       dims [M,3] (sphere (r,0,0) / box half-extents / cylinder (r,h,0)),
-      albedos [M,3] in [0,1] RGB, table_albedo [3], mottle [12,16],
-      light [3] (unit, pointing FROM the light).
-    Padded slots have kind KIND_NONE.
+      ids [M] int32 (instance id per primitive slot; composites span
+      several slots sharing one id), albedos [M,3] in [0,1] RGB,
+      table_albedo [3], mottle [12,16], light [3] (unit, FROM the light).
+    Padded slots have kind KIND_NONE / id 0.
+
+    OCID-statistics knobs (all off by default - the default draw sequence is
+    BIT-IDENTICAL to the round-4 streams, keeping old checkpoints' held-out
+    evaluation stable):
+      p_stack:      probability a new object is placed ON TOP of an earlier
+                    box/cylinder (objects resting on boxes - OCID clutter)
+      p_composite:  probability of a CONCAVE multi-primitive object (L-block
+                    of 2 boxes, or a 3-part arch) sharing one instance id
+      touching:     per-pair spacing shrinks to ~sum of footprint radii
+                    (adjacent/abutting objects) instead of a fixed 8.5 cm
+      max_slots:    primitive slots M (>= max_objects; composites use 2-3)
+    OCID scenes hold up to 20 instances (ref scan:
+    lib/datasets/get_max_num_object.py); data/synthetic_jax.py's loaders
+    expose these via scene_style='ocid'.
     """
-    M = max_objects
+    M = max_slots or max_objects
     pitch = rng.uniform(np.radians(30), np.radians(55))
     dist = rng.uniform(*dist_range)   # (0.35, 0.7) emulates the zoomed-in
     # framing of stage-2 RoI crops (ref: crop_rois resizes a +25%-padded
@@ -104,58 +121,190 @@ def sample_scene_params(rng, intr, max_objects=9, min_objects=3,
     axes = np.tile(n, (M, 1)).astype(np.float32)
     dims = np.zeros((M, 3), np.float32)
     albedos = np.zeros((M, 3), np.float32)
+    ids = np.zeros(M, np.int32)
 
-    k = int(rng.randint(min_objects, M + 1))
-    feet, placed, tries = [], 0, 0
-    while placed < k and tries < 300:
-        tries += 1
-        # shoot a ray through a random central pixel -> guaranteed in view
+    u1 = np.cross(n, [0.0, 0.0, 1.0]); u1 /= np.linalg.norm(u1)
+    u2 = np.cross(n, u1)
+    Rw = np.stack([u1, u2, n], axis=1).astype(np.float32)
+    ez = np.array([0, 0, 1], np.float32)
+
+    def ground_foot():
+        """Shoot a ray through a random central pixel -> in-view plane point."""
         u = rng.uniform(0.12 * width, 0.88 * width)
         v = rng.uniform(0.35 * height, 0.92 * height)
         d = np.array([(u - px) / fx, (v - py) / fy, 1.0], np.float32)
         dn = float(d @ n)
         if abs(dn) < 1e-6:
-            continue
+            return None
         t = float(p0 @ n) / dn
         if t <= 0:
-            continue
-        foot = (t * d).astype(np.float32)
-        if any(np.sum((foot - f) ** 2) < 0.085 ** 2 for f in feet):
-            continue
-        kind = rng.choice([KIND_SPHERE, KIND_BOX, KIND_CYLINDER])
-        albedos[placed] = rng.uniform(0.15, 0.95, size=3)
-        kinds[placed] = kind
-        if kind == KIND_SPHERE:
-            r = rng.uniform(0.03, 0.07)
-            centers[placed] = foot + r * n
-            dims[placed] = (r, 0, 0)
-        elif kind == KIND_CYLINDER:
-            r = rng.uniform(0.025, 0.055)
-            h = rng.uniform(0.06, 0.18)
-            centers[placed] = foot
-            dims[placed] = (r, h, 0)
-        else:
-            half = rng.uniform([0.025, 0.025, 0.03],
-                               [0.065, 0.065, 0.10]).astype(np.float32)
-            yaw = rng.uniform(0, np.pi)
-            u1 = np.cross(n, [0.0, 0.0, 1.0]); u1 /= np.linalg.norm(u1)
-            u2 = np.cross(n, u1)
-            Rw = np.stack([u1, u2, n], axis=1).astype(np.float32)
-            rots[placed] = Rw @ _rot_about(np.array([0, 0, 1], np.float32), yaw)
-            centers[placed] = foot + half[2] * n
-            dims[placed] = half
-        feet.append(foot)
-        placed += 1
+            return None
+        return (t * d).astype(np.float32)
+
+    k = int(rng.randint(min_objects, max_objects + 1))
+    ocid_mode = bool(p_stack or p_composite or touching)
+
+    if not ocid_mode:
+        # ------ legacy placement (round-4 streams; draw order preserved) --
+        feet, placed, tries = [], 0, 0
+        while placed < k and tries < 300:
+            tries += 1
+            foot = ground_foot()
+            if foot is None:
+                continue
+            if any(np.sum((foot - f) ** 2) < 0.085 ** 2 for f in feet):
+                continue
+            kind = rng.choice([KIND_SPHERE, KIND_BOX, KIND_CYLINDER])
+            albedos[placed] = rng.uniform(0.15, 0.95, size=3)
+            kinds[placed] = kind
+            ids[placed] = placed + 1
+            if kind == KIND_SPHERE:
+                r = rng.uniform(0.03, 0.07)
+                centers[placed] = foot + r * n
+                dims[placed] = (r, 0, 0)
+            elif kind == KIND_CYLINDER:
+                r = rng.uniform(0.025, 0.055)
+                h = rng.uniform(0.06, 0.18)
+                centers[placed] = foot
+                dims[placed] = (r, h, 0)
+            else:
+                half = rng.uniform([0.025, 0.025, 0.03],
+                                   [0.065, 0.065, 0.10]).astype(np.float32)
+                yaw = rng.uniform(0, np.pi)
+                rots[placed] = Rw @ _rot_about(ez, yaw)
+                centers[placed] = foot + half[2] * n
+                dims[placed] = half
+            feet.append(foot)
+            placed += 1
+    else:
+        # ------ OCID-statistics placement: clutter, stacking, composites --
+        feet = []          # (foot, footprint_radius)
+        supports = []      # (top_center, ax0, ax1, ex, ey): stackable tops
+        inst, slot, tries = 0, 0, 0
+        while inst < k and slot < M - 2 and tries < 500:
+            tries += 1
+            stacked = supports and rng.rand() < p_stack
+            if stacked:
+                top, ax0, ax1, ex, ey = supports[rng.randint(len(supports))]
+                foot = (top + ax0 * ex * rng.uniform(-0.5, 0.5)
+                        + ax1 * ey * rng.uniform(-0.5, 0.5)).astype(np.float32)
+            else:
+                foot = ground_foot()
+                if foot is None:
+                    continue
+            composite = (not stacked) and rng.rand() < p_composite
+            albedo = rng.uniform(0.15, 0.95, size=3)
+            iid = inst + 1
+
+            if composite and rng.rand() < 0.5:
+                # L-block: base slab + upright block at one end (concave)
+                hx = rng.uniform(0.04, 0.08)
+                hy = rng.uniform(0.025, 0.05)
+                hz = rng.uniform(0.02, 0.04)
+                hz2 = rng.uniform(0.05, 0.12)
+                yaw = rng.uniform(0, np.pi)
+                R = Rw @ _rot_about(ez, yaw)
+                rad = float(np.hypot(hx, hy))
+                if not _spaced(foot, rad, feet, touching):
+                    continue
+                for c, half in ((foot + hz * n, (hx, hy, hz)),
+                                (foot + R[:, 0] * (hx - 0.35 * hx) + hz2 * n,
+                                 (0.35 * hx, hy, hz2))):
+                    kinds[slot] = KIND_BOX
+                    centers[slot] = c
+                    rots[slot] = R
+                    dims[slot] = half
+                    albedos[slot] = albedo
+                    ids[slot] = iid
+                    slot += 1
+            elif composite:
+                # arch: two pillars + lid (concave gap underneath)
+                gap = rng.uniform(0.02, 0.045)
+                pw = rng.uniform(0.012, 0.022)
+                pd = rng.uniform(0.015, 0.03)
+                ph = rng.uniform(0.04, 0.09)
+                lt = rng.uniform(0.008, 0.016)
+                yaw = rng.uniform(0, np.pi)
+                R = Rw @ _rot_about(ez, yaw)
+                span = gap + 2 * pw
+                rad = float(np.hypot(span + 0.01, pd))
+                if not _spaced(foot, rad, feet, touching):
+                    continue
+                for c, half in (
+                        (foot - R[:, 0] * (gap + pw) + ph * n, (pw, pd, ph)),
+                        (foot + R[:, 0] * (gap + pw) + ph * n, (pw, pd, ph)),
+                        (foot + (2 * ph + lt) * n, (span + 0.01, pd, lt))):
+                    kinds[slot] = KIND_BOX
+                    centers[slot] = c
+                    rots[slot] = R
+                    dims[slot] = half
+                    albedos[slot] = albedo
+                    ids[slot] = iid
+                    slot += 1
+            else:
+                kind = rng.choice([KIND_SPHERE, KIND_BOX, KIND_CYLINDER])
+                if kind == KIND_SPHERE:
+                    r = rng.uniform(0.03, 0.07)
+                    if not _spaced(foot, r, feet, touching):
+                        continue
+                    kinds[slot] = KIND_SPHERE
+                    centers[slot] = foot + r * n
+                    dims[slot] = (r, 0, 0)
+                    rad = r
+                elif kind == KIND_CYLINDER:
+                    r = rng.uniform(0.025, 0.055)
+                    h = rng.uniform(0.06, 0.18)
+                    if not _spaced(foot, r, feet, touching):
+                        continue
+                    kinds[slot] = KIND_CYLINDER
+                    centers[slot] = foot
+                    dims[slot] = (r, h, 0)
+                    rad = r
+                    if not stacked:
+                        supports.append((foot + h * n, u1, u2,
+                                         0.8 * r, 0.8 * r))
+                else:
+                    half = rng.uniform([0.025, 0.025, 0.03],
+                                       [0.065, 0.065, 0.10]).astype(np.float32)
+                    yaw = rng.uniform(0, np.pi)
+                    R = Rw @ _rot_about(ez, yaw)
+                    rad = float(np.hypot(half[0], half[1]))
+                    if not _spaced(foot, rad, feet, touching):
+                        continue
+                    kinds[slot] = KIND_BOX
+                    centers[slot] = foot + half[2] * n
+                    rots[slot] = R
+                    dims[slot] = half
+                    if not stacked:
+                        supports.append((foot + 2 * half[2] * n,
+                                         R[:, 0], R[:, 1],
+                                         0.8 * half[0], 0.8 * half[1]))
+                albedos[slot] = albedo
+                ids[slot] = iid
+                slot += 1
+            feet.append((foot, rad))
+            inst += 1
 
     light = np.array([rng.uniform(-0.3, 0.3), -1.0,
                       rng.uniform(-0.5, 0.2)], np.float32)
     light /= np.linalg.norm(light)
     return dict(
         plane_p0=p0, plane_n=n, kinds=kinds, centers=centers, rots=rots,
-        axes=axes, dims=dims, albedos=albedos,
+        axes=axes, dims=dims, ids=ids, albedos=albedos,
         table_albedo=rng.uniform(0.35, 0.75, size=3).astype(np.float32),
         mottle=rng.rand(*MOTTLE_HW).astype(np.float32),
         light=light)
+
+
+def _spaced(foot, rad, feet, touching):
+    """Rejection predicate: 3D foot spacing. touching mode allows abutting
+    objects (spacing ~ sum of footprint radii); legacy-style entries in
+    `feet` are (foot, radius) tuples here (OCID mode only)."""
+    for f, r in feet:
+        dmin = 0.9 * (rad + r) if touching else 0.085
+        if float(np.sum((foot - f) ** 2)) < dmin * dmin:
+            return False
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +392,8 @@ def render_scene_numpy(params, H, W, intr):
     """Closest-hit render of packed params.
 
     Returns (rgb float32 [H,W,3] in [0,1], depth_m [H,W] float32 (0 where no
-    hit), label [H,W] int32: 0 = plane/background, i+1 = object slot i).
+    hit), label [H,W] int32: 0 = plane/background, else params['ids'][slot]
+    - the instance id (composites span several slots sharing one id).
     """
     d = _ray_dirs(H, W, intr)
     N = d.shape[0]
@@ -286,7 +436,7 @@ def render_scene_numpy(params, H, W, intr):
                 nm = np.sign(local[np.arange(N), ax] + 1e-30)[:, None] * R.T[ax]
             hit = t < t_best
             t_best = np.where(hit, t, t_best)
-            ids = np.where(hit, i + 1, ids)
+            ids = np.where(hit, int(params["ids"][i]), ids)
             normals = np.where(hit[:, None], nm, normals)
             albedos = np.where(hit[:, None], params["albedos"][i], albedos)
 
@@ -321,13 +471,25 @@ class SyntheticTabletopDataset(TableTopObject):
                  use_augmentation=True, syn_crop=False, crop_size=224,
                  min_padding=0.5, max_padding=1.0,
                  sampling=False, sampling_num=1000, chromatic=True,
-                 add_noise=True, seed: Optional[int] = 0):
+                 add_noise=True, seed: Optional[int] = 0,
+                 scene_style="r4"):
         self.num_scenes = int(num_scenes)
         self.image_set = image_set
         self.input_type = input_type
         self.H, self.W = int(height), int(width)
         self.max_objects = max_objects
         self.min_objects = min_objects
+        # 'ocid' pushes scene statistics toward OCID clutter (see
+        # sample_scene_params); 'r4' keeps round-4 streams bit-identical
+        self.style = dict(p_stack=0.0, p_composite=0.0, touching=False,
+                          max_slots=None)
+        if scene_style == "ocid":
+            self.style = dict(p_stack=0.3, p_composite=0.25, touching=True,
+                              max_slots=max(20, max_objects + 6))
+            self.max_objects = max(max_objects, 14)
+            self.min_objects = max(min_objects, 5)
+        elif scene_style != "r4":
+            raise ValueError(f"unknown scene_style {scene_style!r}")
         self.use_augmentation = use_augmentation
         self.syn_crop = syn_crop
         self.crop_size = crop_size
@@ -355,7 +517,8 @@ class SyntheticTabletopDataset(TableTopObject):
         return sample_scene_params(self.scene_rng(idx), self.intrinsics,
                                    max_objects=self.max_objects,
                                    min_objects=self.min_objects,
-                                   height=self.H, width=self.W)
+                                   height=self.H, width=self.W,
+                                   **self.style)
 
     def __getitem__(self, idx):
         params = self.scene_params(idx)

@@ -173,7 +173,7 @@ def _render_one(params, d, H, W, M):
                        jnp.where((kind == KIND_BOX)[..., None], nm_b, nm_c))
         hit = t < t_best
         t_best = jnp.where(hit, t, t_best)
-        ids = jnp.where(hit, i + 1, ids)
+        ids = jnp.where(hit, params["ids"][i], ids)
         normals = jnp.where(hit[:, None], nm, normals)
         albedos = jnp.where(hit[:, None], params["albedos"][i], albedos)
 
@@ -192,7 +192,8 @@ def render_scene_batch(params, H, W, fx, fy, px, py):
     """Batched closest-hit render. params: stacked pytree ([B, ...] leaves).
 
     Returns (rgb [B,H,W,3] float32 in [0,1] RGB, depth_m [B,H,W],
-    label [B,H,W] int32 with object slot i -> i+1, background 0).
+    label [B,H,W] int32 = params['ids'][slot] per hit (composites share one
+    id across slots), background 0).
     """
     d = _ray_dirs_j(H, W, fx, fy, px, py)
     M = params["kinds"].shape[1]
@@ -367,7 +368,7 @@ class SyntheticDeviceLoader:
 
     def __init__(self, batch_size: int, height=480, width=640, max_gt=24,
                  max_objects=9, min_objects=3, image_set="train", seed=0,
-                 augment=True, crop_like=False):
+                 augment=True, crop_like=False, scene_style="r4"):
         self.B = batch_size
         self.H, self.W = height, width
         self.max_gt = max_gt
@@ -376,6 +377,22 @@ class SyntheticDeviceLoader:
         self.max_objects = 4 if crop_like else max_objects
         self.min_objects = 1 if crop_like else min_objects
         self.dist_range = (0.35, 0.7) if crop_like else (1.0, 1.4)
+        # scene_style='ocid': push the scene statistics toward OCID (up to
+        # ~14 instances, touching/stacked objects, concave composites - the
+        # clutter regime where the bucketed stage-2 is really tested).
+        # 'r4' keeps the round-4 streams bit-identical so the committed
+        # checkpoints' held-out evaluation stays stable.
+        self.style = dict(p_stack=0.0, p_composite=0.0, touching=False,
+                          max_slots=None)
+        if scene_style == "ocid":
+            self.style = dict(p_stack=0.3, p_composite=0.25, touching=True,
+                              max_slots=(6 if crop_like
+                                         else max(20, self.max_objects + 6)))
+            if not crop_like:
+                self.max_objects = max(max_objects, 14)
+                self.min_objects = max(min_objects, 5)
+        elif scene_style != "r4":
+            raise ValueError(f"unknown scene_style {scene_style!r}")
         self.augment = augment
         self.seed = seed
         self.split_salt = {"train": 0, "test": 1 << 20}[image_set]
@@ -389,7 +406,7 @@ class SyntheticDeviceLoader:
                 % (2 ** 31 - 1)),
             self.intr, max_objects=self.max_objects,
             min_objects=self.min_objects, height=self.H, width=self.W,
-            dist_range=self.dist_range)
+            dist_range=self.dist_range, **self.style)
             for i in indices]
         return stack_scene_params(ps)
 

@@ -43,6 +43,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     has_downsample: bool = False
+    groups: int = 1       # independent towers stacked on the channel axis
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -51,19 +52,23 @@ class BasicBlock(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
         residual = x
-        out = nn.Conv(self.planes, (3, 3), strides=self.stride,
+        out = nn.Conv(self.planes * self.groups, (3, 3), strides=self.stride,
                       padding=self.dilation, kernel_dilation=self.dilation,
-                      use_bias=False, dtype=self.dtype, name="conv1",
+                      use_bias=False, feature_group_count=self.groups,
+                      dtype=self.dtype, name="conv1",
                       precision=default_precision(self.dtype))(x)
         out = nn.relu(bn("bn1")(out))
-        out = nn.Conv(self.planes, (3, 3), padding=self.dilation,
+        out = nn.Conv(self.planes * self.groups, (3, 3), padding=self.dilation,
                       kernel_dilation=self.dilation, use_bias=False,
+                      feature_group_count=self.groups,
                       dtype=self.dtype, name="conv2",
                       precision=default_precision(self.dtype))(out)
         out = bn("bn2")(out)
         if self.has_downsample:
-            residual = nn.Conv(self.planes, (1, 1), strides=self.stride,
-                               use_bias=False, dtype=self.dtype, name="downsample_conv",
+            residual = nn.Conv(self.planes * self.groups, (1, 1),
+                               strides=self.stride, use_bias=False,
+                               feature_group_count=self.groups,
+                               dtype=self.dtype, name="downsample_conv",
                                precision=default_precision(self.dtype))(x)
             residual = bn("downsample_bn")(residual)
         return nn.relu(out + residual)
@@ -74,6 +79,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     has_downsample: bool = False
+    groups: int = 1
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
 
@@ -83,20 +89,27 @@ class Bottleneck(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
         residual = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1",
+        out = nn.Conv(self.planes * self.groups, (1, 1), use_bias=False,
+                      feature_group_count=self.groups,
+                      dtype=self.dtype, name="conv1",
                       precision=default_precision(self.dtype))(x)
         out = nn.relu(bn("bn1")(out))
-        out = nn.Conv(self.planes, (3, 3), strides=self.stride,
+        out = nn.Conv(self.planes * self.groups, (3, 3), strides=self.stride,
                       padding=self.dilation, kernel_dilation=self.dilation,
-                      use_bias=False, dtype=self.dtype, name="conv2",
+                      use_bias=False, feature_group_count=self.groups,
+                      dtype=self.dtype, name="conv2",
                       precision=default_precision(self.dtype))(out)
         out = nn.relu(bn("bn2")(out))
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3",
+        out = nn.Conv(self.planes * 4 * self.groups, (1, 1), use_bias=False,
+                      feature_group_count=self.groups,
+                      dtype=self.dtype, name="conv3",
                       precision=default_precision(self.dtype))(out)
         out = bn("bn3")(out)
         if self.has_downsample:
-            residual = nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
-                               use_bias=False, dtype=self.dtype, name="downsample_conv",
+            residual = nn.Conv(self.planes * 4 * self.groups, (1, 1),
+                               strides=self.stride, use_bias=False,
+                               feature_group_count=self.groups,
+                               dtype=self.dtype, name="downsample_conv",
                                precision=default_precision(self.dtype))(x)
             residual = bn("downsample_bn")(residual)
         return nn.relu(out + residual)
@@ -169,6 +182,7 @@ class DilatedResNetFCN(nn.Module):
     output_stride: int = 8
     upsample: bool = True
     use_space_to_batch: bool = True
+    groups: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -178,7 +192,8 @@ class DilatedResNetFCN(nn.Module):
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         expansion = 1 if self.block == "basic" else 4
 
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+        x = nn.Conv(64 * self.groups, (7, 7), strides=2, padding=3,
+                    use_bias=False, feature_group_count=self.groups,
                     dtype=self.dtype, name="conv1",
                     precision=default_precision(self.dtype))(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -197,13 +212,16 @@ class DilatedResNetFCN(nn.Module):
             for block_idx, (planes, stride, dilation, has_ds) in enumerate(blocks):
                 x = block_cls(planes=planes, stride=stride,
                               dilation=1 if s2b else dilation,
-                              has_downsample=has_ds, dtype=self.dtype,
+                              has_downsample=has_ds, groups=self.groups,
+                              dtype=self.dtype,
                               name=f"layer{stage_idx + 1}_{block_idx}")(x, train=train)
             if s2b:
                 x = batch_to_space(x, d, batch)
 
         # 1x1 scoring conv (the reference's resnetN_8s.fc replaced by Conv2d(.,.,1))
-        x = nn.Conv(self.num_units, (1, 1), dtype=self.dtype, name="fc",
+        x = nn.Conv(self.num_units * self.groups, (1, 1),
+                    feature_group_count=self.groups,
+                    dtype=self.dtype, name="fc",
                     precision=default_precision(self.dtype))(x)
         if self.upsample:
             x = resize_bilinear(x, in_hw, align_corners=True)

@@ -29,9 +29,17 @@ class SEGNET(nn.Module):
     fusion_type: str = "add"          # early | add | cat
     num_units: int = 64
     normalize: bool = True
+    # grouped_towers: run the two RGBD towers as ONE conv stack with
+    # feature_group_count=2 on channel-stacked inputs/weights. Numerically
+    # identical to two towers (grouped channels never mix; BatchNorm is
+    # per-channel; the bilinear upsample and the final add are linear) but
+    # every conv contracts at twice the width, which fills the 128-wide MXU
+    # where a single tower's 64/128-channel layers under-fill it. Weight
+    # fusion: utils.checkpoint.fuse_tower_params.
+    grouped_towers: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    def _make_fcn(self, name):
+    def _make_fcn(self, name, groups: int = 1):
         from .resnet import DilatedResNetFCN
 
         if self.network == "unet":
@@ -47,10 +55,11 @@ class SEGNET(nn.Module):
         block = {"resnet34_8s": "basic", "resnet50_8s": "bottleneck"}[self.network]
         return DilatedResNetFCN(layers=(3, 4, 6, 3), block=block,
                                 num_units=self.num_units, output_stride=8,
-                                dtype=self.dtype, name=name)
+                                groups=groups, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, img=None, xyz=None, train: bool = False):
+        two_tower = self.input_type == "RGBD" and self.fusion_type != "early"
         if self.input_type == "DEPTH":
             features = self._make_fcn("fcn")(xyz, train=train)
         elif self.input_type == "COLOR":
@@ -58,6 +67,13 @@ class SEGNET(nn.Module):
         elif self.input_type == "RGBD" and self.fusion_type == "early":
             features = self._make_fcn("fcn")(
                 jnp.concatenate([img, xyz], axis=-1), train=train)
+        elif two_tower and self.grouped_towers and self.network.startswith("resnet"):
+            both = self._make_fcn("fcn", groups=2)(
+                jnp.concatenate([img, xyz], axis=-1), train=train)
+            if self.fusion_type == "add":
+                features = both[..., :self.num_units] + both[..., self.num_units:]
+            else:                     # 'cat': the halves already are [rgb|xyz]
+                features = both
         else:
             features = self._make_fcn("fcn")(img, train=train)
             features_depth = self._make_fcn("fcn_depth")(xyz, train=train)
@@ -75,4 +91,6 @@ def build_segnet(cfg, dtype=jnp.float32):
     """Build from a Config (ref factory: lib/networks/SEG.py:173-186)."""
     b = cfg.backbone
     return SEGNET(network=b.network, input_type=b.input_type, fusion_type=b.fusion_type,
-                  num_units=b.num_units, normalize=b.normalize, dtype=dtype)
+                  num_units=b.num_units, normalize=b.normalize,
+                  grouped_towers=getattr(b, "grouped_towers", False),
+                  dtype=dtype)

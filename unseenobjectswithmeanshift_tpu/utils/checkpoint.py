@@ -432,3 +432,38 @@ def convert_msmformer_checkpoint(state_dict: Dict[str, np.ndarray]):
                 value.T if leaf == "kernel" else value)
 
     return {"params": params, "batch_stats": batch_stats}
+
+
+def fuse_tower_params(tree: dict) -> dict:
+    """Fuse a SEGNET two-tower subtree {fcn, fcn_depth} into the grouped
+    single-stack layout (SEGNET.grouped_towers: one feature_group_count=2
+    conv stack over channel-concatenated inputs).
+
+    Exact by construction: a grouped conv's kernel is [kh, kw, in/groups,
+    out_total] with the groups segregated along the output axis, so stacking
+    each tower's kernel (and every per-channel BatchNorm leaf) on the last
+    axis reproduces the two towers bit-for-bit. Works on params and
+    batch_stats alike (both are per-tower trees of channel-last leaves).
+    """
+    import jax
+
+    fused = jax.tree_util.tree_map(
+        lambda a, b: np.concatenate([np.asarray(a), np.asarray(b)], axis=-1),
+        tree["fcn"], tree["fcn_depth"])
+    return {k: v for k, v in tree.items()
+            if k not in ("fcn", "fcn_depth")} | {"fcn": fused}
+
+
+def fuse_grouped_towers(variables):
+    """Recursively fuse every {fcn, fcn_depth} pair in a variables pytree
+    (params AND batch_stats) for use with cfg.backbone.grouped_towers=True.
+    Checkpoints stay in the portable two-tower layout on disk; fusion happens
+    at load time."""
+    def walk(t):
+        if isinstance(t, dict):
+            if "fcn" in t and "fcn_depth" in t:
+                t = fuse_tower_params(t)
+            return {k: (v if k == "fcn" else walk(v)) for k, v in t.items()}
+        return t
+
+    return walk(variables)
