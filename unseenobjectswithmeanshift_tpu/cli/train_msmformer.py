@@ -98,13 +98,19 @@ def main(argv=None):
     if args.dataset == "synthetic":
         from ..data.synthetic_jax import SyntheticDeviceLoader
 
-        # --crop trains the stage-2 crop network on crop-like scenes
-        # (zoomed-in framing, 1-4 objects, 224x224 - the statistics of
-        # SYN_CROP / crop_rois RoIs)
+        # --crop trains the stage-2 crop network in SYN_CROP mode: full
+        # 480x640 scenes rendered on device, each sample a padded square
+        # crop around one random object resized to 224^2 - the reference's
+        # crop recipe (tabletop_object.py:175-237) and the statistics
+        # crop_rois feeds the net at inference (one dominant object filling
+        # the frame + partial neighbors). Round 5 measured that the
+        # round-4 crop_like mode (distant few-object scenes) trains a net
+        # that SHATTERS inference-scale objects (refined F 0.336).
         loader = SyntheticDeviceLoader(
             args.batch, height=image_hw[0], width=image_hw[1],
             max_gt=cfg.loss.max_gt_instances, image_set="train", seed=0,
-            crop_like=args.crop, scene_style=args.scene_style)
+            syn_crop=args.crop, crop_size=image_hw[0],
+            scene_style=args.scene_style)
     else:
         if not args.root:
             raise SystemExit("--root is required for the file-based dataset")
@@ -156,7 +162,7 @@ def main(argv=None):
             vload = SyntheticDeviceLoader(
                 1, height=image_hw[0], width=image_hw[1],
                 max_gt=cfg.loss.max_gt_instances, image_set="test", seed=0,
-                augment=False, crop_like=args.crop,
+                augment=False, syn_crop=args.crop, crop_size=image_hw[0],
                 scene_style=args.scene_style)
             val = []
             for i in range(args.eval_samples):

@@ -86,10 +86,13 @@ def main(argv=None):
 
         # --crop trains the 224^2 crop embedding net on zoomed-in scenes
         # (the statistics of SYN_CROP RoIs, ref: tabletop_object.py:175-237)
+        # --crop: SYN_CROP mode (padded square crops around single objects
+        # from full rendered scenes - the reference crop-net recipe)
         loader = SyntheticDeviceLoader(
             args.batch, height=image_hw[0], width=image_hw[1],
             max_gt=cfg.loss.max_gt_instances, image_set="train", seed=0,
-            crop_like=args.crop, scene_style=args.scene_style)
+            syn_crop=args.crop, crop_size=image_hw[0],
+            scene_style=args.scene_style)
         steps_per_epoch = args.iters_per_epoch
     else:
         if not args.root:

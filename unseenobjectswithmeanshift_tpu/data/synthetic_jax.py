@@ -307,6 +307,73 @@ def augment_rgb(key, rgb):
 # batch assembly
 
 
+def _syn_crop_device(key, image, xyz, label, S, max_gt,
+                     min_padding=0.5, max_padding=1.0):
+    """Device SYN_CROP: square padded crop around a uniformly-chosen present
+    object, resized to S x S - the statistics the stage-2 crop network sees
+    at inference (crop_rois tight box + padding). Mirrors the host
+    `TableTopObject.pad_crop_resize` (ref: lib/datasets/tabletop_object.py:
+    175-237): square the tight box, pad each side by uniform(min_padding,
+    max_padding) * side (25 px if the pad rounds to 0), clamp, resize -
+    bilinear for the image, nearest for label and xyz.
+
+    TPU-native formulation: crop+resize in one as separable SELECTOR-MATRIX
+    matmuls (Ry [S,H] / Rx [S,W] interpolation matrices built from the
+    data-dependent box; no gathers, fixed shapes, jit/vmap-safe). Nearest
+    uses cv2's floor(i*scale) convention; bilinear the standard half-pixel
+    two-tap kernel with edge clamp."""
+    H, W = label.shape
+    k1, k2 = jax.random.split(key)
+    ids = jnp.arange(1, max_gt + 1, dtype=jnp.int32)
+    present = (label[None] == ids[:, None, None]).any((1, 2))
+    idx = jax.random.categorical(
+        k1, jnp.where(present, 0.0, -jnp.inf)).astype(jnp.int32) + 1
+    fg = label == idx
+    rows, cols = fg.any(1), fg.any(0)
+    ri = jnp.arange(H, dtype=jnp.float32)
+    ci = jnp.arange(W, dtype=jnp.float32)
+    y_min = jnp.min(jnp.where(rows, ri, jnp.float32(H)))
+    y_max = jnp.max(jnp.where(rows, ri, jnp.float32(-1)))
+    x_min = jnp.min(jnp.where(cols, ci, jnp.float32(W)))
+    x_max = jnp.max(jnp.where(cols, ci, jnp.float32(-1)))
+    cx, cy = (x_min + x_max) / 2, (y_min + y_max) / 2
+    xd, yd = x_max - x_min, y_max - y_min
+    wide = xd > yd
+    y_min = jnp.where(wide, cy - xd / 2, y_min)
+    y_max = jnp.where(wide, cy + xd / 2, y_max)
+    x_min = jnp.where(wide, x_min, cx - yd / 2)
+    x_max = jnp.where(wide, x_max, cx + yd / 2)
+    side = x_max - x_min
+    pad = jnp.round(side * jax.random.uniform(
+        k2, minval=min_padding, maxval=max_padding))
+    pad = jnp.where(pad == 0, 25.0, pad)
+    y_lo = jnp.clip(jnp.floor(y_min - pad), 0, H - 1)
+    y_hi = jnp.clip(jnp.ceil(y_max + pad), 0, H - 1)
+    x_lo = jnp.clip(jnp.floor(x_min - pad), 0, W - 1)
+    x_hi = jnp.clip(jnp.ceil(x_max + pad), 0, W - 1)
+    y_hi = jnp.maximum(y_hi, y_lo + 1)
+    x_hi = jnp.maximum(x_hi, x_lo + 1)
+
+    def matrices(lo, hi, size):
+        span = hi - lo + 1.0
+        grid = jnp.arange(size, dtype=jnp.float32)[None, :]        # [1, size]
+        i = jnp.arange(S, dtype=jnp.float32)[:, None]              # [S, 1]
+        c = jnp.clip(lo + (i + 0.5) * span / S - 0.5, 0.0, size - 1.0)
+        R_lin = jnp.maximum(0.0, 1.0 - jnp.abs(grid - c))          # [S, size]
+        near = lo + jnp.clip(jnp.floor(i * span / S), 0, span - 1)
+        R_near = (grid == near).astype(jnp.float32)
+        return R_lin, R_near
+
+    Ry_l, Ry_n = matrices(y_lo, y_hi, H)
+    Rx_l, Rx_n = matrices(x_lo, x_hi, W)
+    img_c = jnp.einsum("ih,hwc,jw->ijc", Ry_l, image, Rx_l,
+                       precision=_PREC)
+    xyz_c = jnp.einsum("ih,hwc,jw->ijc", Ry_n, xyz, Rx_n, precision=_PREC)
+    lab_c = jnp.einsum("ih,hw,jw->ij", Ry_n, label.astype(jnp.float32),
+                       Rx_n, precision=_PREC)
+    return img_c, xyz_c, jnp.round(lab_c).astype(jnp.int32)
+
+
 def _instances_device(label, max_gt):
     """[H, W] slot-label image -> compacted (masks [G,H,W], labels [G],
     valid [G], renumbered [H,W]) - the device version of
@@ -326,17 +393,21 @@ def _instances_device(label, max_gt):
 
 @partial(jax.jit,
          static_argnames=("H", "W", "fx", "fy", "px", "py", "max_gt",
-                          "augment"))
+                          "augment", "syn_crop", "crop_size"))
 def make_train_batch(key, params, H, W, fx, fy, px, py, max_gt=24,
-                     augment=True):
-    """One jit: render + augment + normalize + instance extraction.
+                     augment=True, syn_crop=False, crop_size=224):
+    """One jit: render + augment + normalize (+ SYN_CROP) + instance
+    extraction.
 
     Returns the BatchLoader-contract dict (image normalized BGR, xyz,
-    gt_masks, gt_labels, gt_valid, label_image), all on device.
+    gt_masks, gt_labels, gt_valid, label_image), all on device. With
+    syn_crop=True scenes render at (H, W) and every sample is a square
+    padded crop around one random object resized to crop_size^2 - the
+    reference's SYN_CROP crop-network training mode (_syn_crop_device).
     """
     rgb, depth, label = render_scene_batch(params, H, W, fx, fy, px, py)
     B = rgb.shape[0]
-    keys = jax.random.split(key, B * 3).reshape(B, 3, 2)
+    keys = jax.random.split(key, B * 4).reshape(B, 4, 2)
 
     def per_image(rgb1, depth1, label1, ks):
         if augment:
@@ -352,6 +423,9 @@ def make_train_batch(key, params, H, W, fx, fy, px, py, max_gt=24,
         bgr = rgb1[..., ::-1]
         means = jnp.asarray(UCN_PIXEL_MEANS_BGR, jnp.float32) / 255.0
         image = bgr - means
+        if syn_crop:
+            image, xyz1, label1 = _syn_crop_device(
+                ks[3], image, xyz1, label1, crop_size, max_gt)
         masks, labels, valid, renum = _instances_device(label1, max_gt)
         return image, xyz1, masks, labels, valid, renum
 
@@ -368,12 +442,24 @@ class SyntheticDeviceLoader:
 
     def __init__(self, batch_size: int, height=480, width=640, max_gt=24,
                  max_objects=9, min_objects=3, image_set="train", seed=0,
-                 augment=True, crop_like=False, scene_style="r4"):
+                 augment=True, crop_like=False, scene_style="r4",
+                 syn_crop=False, crop_size=224, render_hw=(480, 640)):
         self.B = batch_size
         self.H, self.W = height, width
         self.max_gt = max_gt
-        # crop_like: zoomed-in framing + few objects, the statistics of
-        # stage-2 RoI crops (for training the crop network file-free)
+        # syn_crop: the CORRECT crop-network training mode - render full
+        # scenes at render_hw and emit a padded square crop around one
+        # random object resized to crop_size^2 (the reference's SYN_CROP,
+        # matching crop_rois inference statistics: ONE dominant object
+        # filling the frame + partial neighbors). crop_like (zoomed-out
+        # few-object scenes) is kept as the round-4 legacy mode; round 5
+        # measured that a crop net trained on it SHATTERS objects at
+        # inference scale (refined Objects F 0.336) because its objects
+        # are 3-4x smaller than real RoI crops.
+        self.syn_crop = syn_crop
+        self.crop_size = crop_size
+        if syn_crop:
+            self.H, self.W = render_hw
         self.max_objects = 4 if crop_like else max_objects
         self.min_objects = 1 if crop_like else min_objects
         self.dist_range = (0.35, 0.7) if crop_like else (1.0, 1.4)
@@ -396,7 +482,8 @@ class SyntheticDeviceLoader:
         self.augment = augment
         self.seed = seed
         self.split_salt = {"train": 0, "test": 1 << 20}[image_set]
-        self.intr = fov_intrinsics(width, height)
+        # intrinsics follow the RENDER frame (syn_crop renders render_hw)
+        self.intr = fov_intrinsics(self.W, self.H)
         self.step = 0
 
     def params_for(self, indices):
@@ -418,7 +505,8 @@ class SyntheticDeviceLoader:
             key, params, self.H, self.W,
             float(self.intr["fx"]), float(self.intr["fy"]),
             float(self.intr["x_offset"]), float(self.intr["y_offset"]),
-            max_gt=self.max_gt, augment=self.augment)
+            max_gt=self.max_gt, augment=self.augment,
+            syn_crop=self.syn_crop, crop_size=self.crop_size)
 
     def __iter__(self):
         while True:
