@@ -290,9 +290,14 @@ def main():
 
             tv1 = _load(ckpt)
             tv2 = _load(crop_ckpt) if crop_ckpt else tv1
+            # the r5 release is trained on OCID-statistics scenes (denser
+            # clutter); measure it in that regime - higher crop occupancy,
+            # the honest throughput predictor. r4 keeps its original streams.
+            style = "ocid" if (release_found and "r5" in release_found) \
+                else "r4"
             sload = SyntheticDeviceLoader(B, height=H, width=W, max_gt=24,
                                           image_set="test", seed=7,
-                                          augment=False)
+                                          augment=False, scene_style=style)
             sb = sload.batch_at(0)
             simg, sxyz = jnp.asarray(sb["image"]), jnp.asarray(sb["xyz"])
 
