@@ -40,6 +40,10 @@ def main(argv=None):
                         "(ignored for the file-based dataset)")
     p.add_argument("--scene-style", default="r4", choices=["r4", "ocid"],
                    help="synthetic scene statistics (see train_msmformer)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute / fp32 params (the train_msmformer "
+                        "default recipe; the reference trains UCN in fp32, "
+                        "so this stays opt-in here)")
     p.add_argument("--epochs", type=int, default=16)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-5)
@@ -104,7 +108,8 @@ def main(argv=None):
                              max_gt=cfg.loss.max_gt_instances)
         steps_per_epoch = len(dataset) // args.batch
 
-    model = build_segnet(cfg)
+    model = build_segnet(cfg, dtype=jnp.bfloat16 if args.bf16
+                         else jnp.float32)
     img0 = jnp.zeros((1, *image_hw, 3))
     xyz0 = img0 if cfg.use_depth else None
     variables = model.init(jax.random.PRNGKey(0), img0, xyz0, train=False)
